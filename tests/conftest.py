@@ -1,0 +1,18 @@
+"""Test configuration.
+
+Tests run on CPU with an 8-device virtual mesh so every sharding code
+path (SURVEY.md §5.8) executes in CI without TPU hardware.  Must set the
+env vars before the first `import jax` anywhere in the process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
