@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: batched banded Gotoh affine-gap DP (score-only).
+
+The TPU-native replacement for the reference's banded alignment kernels
+(ref: nvbio/alignment/banded_inl.h — ``banded_alignment_score``;
+batched.h — ``BatchedAlignmentScore`` with its thread/warp schedulers).
+
+Layout (BASELINE.md "wavefront-parallel Pallas DP"):
+
+- **batch across the 128 VPU lanes** — one alignment per lane, the TPU
+  analog of one-CUDA-thread-per-alignment;
+- **band across sublanes** — the band H/E/F state lives in VMEM as
+  (BAND, 128) int32 tiles, so every DP row advances with a handful of
+  full-width VPU ops;
+- the within-row horizontal-gap recurrence is an exact weighted
+  cumulative max, computed with a log2(BAND)-step Kogge-Stone scan of
+  sublane shifts;
+- text/pattern/qual tiles are staged (seq_len, 128) in VMEM so each row
+  touches them with uniform dynamic slices — no per-lane gathers.
+
+Semantics are identical to ``nvbio_tpu.alignment.batched`` (the XLA
+twin), which is exact-equality tested against the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..alignment.types import AlignmentType, GotohScheme, NEG_INF
+
+PAD_SYMBOL = 7
+
+
+def _shift_down(x, fill=NEG_INF):
+    """out[k] = x[k+1] along sublane axis 0."""
+    return jnp.concatenate(
+        [x[1:, :], jnp.full((1, x.shape[1]), fill, x.dtype)], axis=0
+    )
+
+
+def _shift_up_by(x, d, fill=NEG_INF):
+    """out[k] = x[k-d] along sublane axis 0."""
+    return jnp.concatenate(
+        [jnp.full((d, x.shape[1]), fill, x.dtype), x[:-d, :]], axis=0
+    )
+
+
+def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
+                 band_w: int, BAND: int, BAND_PAD: int, TB: int):
+    """BAND = 2*band_w+1 true band cells; BAND_PAD = pow2-padded sublane
+    extent.  Cells with k >= BAND are masked invalid so padding never
+    changes results."""
+    go, ge = scheme.gap_open, scheme.gap_extend
+    is_local = atype == AlignmentType.LOCAL
+
+    def kernel(pat_ref, qual_ref, text_ref, plen_ref, tlen_ref, out_ref):
+        plen = plen_ref[0:1, :]  # (1, TB)
+        tlen = tlen_ref[0:1, :]
+        krange = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, 1), 0)
+        in_band = krange < BAND
+        kk = krange * ge
+        j0 = krange - band_w
+        if atype == AlignmentType.GLOBAL:
+            h0 = jnp.where(
+                j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG_INF)
+            )
+        else:
+            h0 = jnp.where(j0 >= 0, 0, NEG_INF)
+        H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG_INF).astype(jnp.int32)
+        H0 = jnp.broadcast_to(H0, (BAND_PAD, TB))
+        F0 = jnp.full((BAND_PAD, TB), NEG_INF, jnp.int32)
+        if is_local:
+            best0 = jnp.zeros((1, TB), jnp.int32)
+        else:
+            best0 = jnp.full((1, TB), NEG_INF, jnp.int32)
+        bi0 = jnp.zeros((1, TB), jnp.int32)
+        bk0 = jnp.full((1, TB), band_w, jnp.int32)
+
+        def body(carry, i0, p, q, tsl):
+            H, F, best, best_i, best_k = carry
+            j = (i0 + 1) + krange - band_w  # (BAND_PAD, 1)
+            valid = (j >= 0) & (j <= tlen) & in_band
+            mm = scheme.mismatch_min + (
+                (scheme.mismatch_max - scheme.mismatch_min)
+                * jnp.minimum(q, 40)
+            ) // 40
+            is_n = (p >= 4) | (tsl >= 4)
+            s = jnp.where(
+                is_n, -scheme.n_penalty,
+                jnp.where(tsl == p, scheme.match, -mm),
+            )
+            up_H = _shift_down(H)
+            up_F = _shift_down(F)
+            F_new = jnp.maximum(up_H - (go + ge), up_F - ge)
+            Hhat = jnp.maximum(H + s, F_new)
+            if is_local:
+                Hhat = jnp.maximum(Hhat, 0)
+            Hhat_m = jnp.where(valid, Hhat, NEG_INF)
+            A = _shift_up_by(Hhat_m, 1) - (go + ge)
+            # weighted cummax (Kogge-Stone along the band)
+            Ew = A + kk
+            d = 1
+            while d < BAND_PAD:
+                Ew = jnp.maximum(Ew, _shift_up_by(Ew, d))
+                d *= 2
+            E_new = Ew - kk
+            H_new = jnp.maximum(Hhat, E_new)
+            if is_local:
+                H_new = jnp.maximum(H_new, 0)
+            H_new = jnp.where(valid, H_new, NEG_INF)
+            F_new = jnp.where(valid, F_new, NEG_INF)
+
+            row = i0 + 1
+            if atype == AlignmentType.GLOBAL:
+                hit = row == plen  # (1, TB)
+                k_goal = tlen - plen + band_w
+                h_goal = jnp.max(
+                    jnp.where(krange == k_goal, H_new, NEG_INF),
+                    axis=0, keepdims=True,
+                )
+                best = jnp.where(hit, h_goal, best)
+                best_i = jnp.where(hit, row, best_i)
+                best_k = jnp.where(hit, k_goal, best_k)
+            else:
+                row_best = jnp.max(H_new, axis=0, keepdims=True)
+                row_k = jnp.min(
+                    jnp.where(H_new == row_best, krange, BAND_PAD),
+                    axis=0, keepdims=True,
+                )
+                if atype == AlignmentType.SEMI_GLOBAL:
+                    upd = row == plen
+                else:
+                    upd = (row <= plen) & (row_best > best)
+                best = jnp.where(upd, row_best, best)
+                best_i = jnp.where(upd, row, best_i)
+                best_k = jnp.where(upd, row_k, best_k)
+            return H_new, F_new, best, best_i, best_k
+
+        def chunk(c, carry):
+            # 8-row chunks: loads start at sublane-aligned offsets (a
+            # Mosaic requirement for wide tiles) and the inner 8 rows
+            # are unrolled with static slices of the loaded values.
+            base = pl.multiple_of(c * 8, 8)
+            tchunk = text_ref[pl.ds(base, BAND_PAD + 8), :]
+            pchunk = pat_ref[pl.ds(base, 8), :]
+            qchunk = qual_ref[pl.ds(base, 8), :]
+            for r in range(8):
+                carry = body(
+                    carry,
+                    c * 8 + r,
+                    pchunk[r : r + 1, :],
+                    qchunk[r : r + 1, :],
+                    tchunk[r : r + BAND_PAD, :],
+                )
+            return carry
+
+        H, F, best, best_i, best_k = jax.lax.fori_loop(
+            0, Lp // 8, chunk, (H0, F0, best0, bi0, bk0)
+        )
+        t_end = jnp.maximum(best_i + best_k - band_w, 0)
+        out_ref[0:1, :] = best
+        out_ref[1:2, :] = best_i
+        out_ref[2:3, :] = t_end
+        out_ref[3:8, :] = jnp.zeros((5, TB), jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "atype", "band_w", "interpret", "tile"),
+)
+def banded_score_pallas(
+    patterns,  # (NB, Lp) symbols
+    plens,  # (NB,)
+    texts,  # (NB, Lt)
+    tlens,  # (NB,)
+    quals=None,  # (NB, Lp)
+    *,
+    scheme: GotohScheme,
+    atype: AlignmentType,
+    band_w: int,
+    interpret: bool = False,
+    tile: int = 256,
+):
+    """Drop-in Pallas twin of ``alignment.banded_score_batch``.
+
+    NB is padded to a multiple of `tile` internally; returns dict with
+    ``score``, ``p_end``, ``t_end`` of shape (NB,).
+    """
+    NB, Lp = patterns.shape
+    Lt = texts.shape[1]
+    BAND = 2 * band_w + 1
+    BAND_PAD = max(8, 1 << (BAND - 1).bit_length())  # pow2 for the scan
+    Lp8 = (Lp + 7) // 8 * 8
+    nb_pad = (NB + tile - 1) // tile * tile
+    if quals is None:
+        quals = jnp.full((NB, Lp), 40, jnp.int32)
+
+    def prep(x, fill, cols=None):
+        x = x.astype(jnp.int32)
+        pad_cols = (0, 0) if cols is None else (0, cols - x.shape[1])
+        return jnp.pad(x, ((0, nb_pad - NB), pad_cols),
+                       constant_values=fill)
+
+    pats_t = prep(patterns, PAD_SYMBOL, Lp8).T  # (Lp8, nb_pad)
+    quals_t = prep(quals, 0, Lp8).T
+    # stage text so text_t[i0 + k] = text[i0 + k - w]; chunked loads
+    # read up to Lp8 + BAND_PAD + 8 staged rows
+    LT_PAD = Lp8 + BAND_PAD + 8
+    texts_p = jnp.pad(
+        prep(texts, PAD_SYMBOL),
+        ((0, 0), (band_w, max(0, LT_PAD - band_w - Lt))),
+        constant_values=PAD_SYMBOL,
+    )[:, :LT_PAD]
+    texts_t = texts_p.T  # (LT_PAD, nb_pad)
+    plens_t = prep(plens[:, None], 0).T  # (1, nb_pad)
+    tlens_t = prep(tlens[:, None], 0).T
+
+    grid = (nb_pad // tile,)
+    bspec = lambda rows: pl.BlockSpec(
+        (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
+    kernel = _make_kernel(Lp8, scheme, atype, band_w, BAND, BAND_PAD, tile)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nb_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            bspec(Lp8),  # patterns
+            bspec(Lp8),  # quals
+            bspec(LT_PAD),  # texts
+            bspec(1),  # plens
+            bspec(1),  # tlens
+        ],
+        out_specs=bspec(8),
+        interpret=interpret,
+    )(pats_t, quals_t, texts_t, plens_t, tlens_t)
+    return {
+        "score": out[0, :NB],
+        "p_end": out[1, :NB],
+        "t_end": out[2, :NB],
+    }

@@ -1,0 +1,64 @@
+"""Pallas banded-DP kernel vs the XLA twin — exact equality (interpret
+mode on CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvbio_tpu.alignment import AlignmentType, GotohScheme
+from nvbio_tpu.alignment.batched import banded_score_batch
+from nvbio_tpu.alignment.types import BOWTIE2_LOCAL_SCHEME
+from nvbio_tpu.ops.banded_dp import banded_score_pallas
+
+BAND_W = 7
+LP, LT = 20, 28
+NB = 130  # deliberately not a multiple of 128
+
+
+def _random_batch(seed):
+    rng = np.random.default_rng(seed)
+    plens = rng.integers(5, LP + 1, NB).astype(np.int32)
+    tlens = rng.integers(10, LT + 1, NB).astype(np.int32)
+    pats = rng.integers(0, 4, (NB, LP)).astype(np.int8)
+    quals = rng.integers(0, 42, (NB, LP)).astype(np.int32)
+    texts = rng.integers(0, 4, (NB, LT)).astype(np.int8)
+    for b in range(NB):
+        n = min(plens[b], tlens[b])
+        texts[b, :n] = pats[b, :n]
+        for _ in range(rng.integers(0, 4)):
+            texts[b, rng.integers(0, tlens[b])] = rng.integers(0, 4)
+    return pats, plens, quals, texts, tlens
+
+
+@pytest.mark.parametrize(
+    "scheme,atype",
+    [
+        (GotohScheme(), AlignmentType.SEMI_GLOBAL),
+        (BOWTIE2_LOCAL_SCHEME, AlignmentType.LOCAL),
+        (GotohScheme(), AlignmentType.GLOBAL),
+    ],
+)
+def test_pallas_matches_xla(scheme, atype):
+    pats, plens, quals, texts, tlens = _random_batch(atype.value + 11)
+    if atype == AlignmentType.GLOBAL:
+        tlens = np.clip(tlens, plens - BAND_W // 2, plens + BAND_W // 2)
+        tlens = np.minimum(tlens, LT).astype(np.int32)
+    args = (
+        jnp.asarray(pats), jnp.asarray(plens),
+        jnp.asarray(texts), jnp.asarray(tlens), jnp.asarray(quals),
+    )
+    ref = banded_score_batch(
+        *args, scheme=scheme, atype=atype, band_w=BAND_W
+    )
+    got = banded_score_pallas(
+        *args, scheme=scheme, atype=atype, band_w=BAND_W, interpret=True
+    )
+    score_ref = np.asarray(ref["score"])
+    np.testing.assert_array_equal(np.asarray(got["score"]), score_ref)
+    ok = score_ref > -(1 << 29)  # sink position defined only when a path exists
+    np.testing.assert_array_equal(
+        np.asarray(got["p_end"])[ok], np.asarray(ref["p_end"])[ok]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["t_end"])[ok], np.asarray(ref["t_end"])[ok]
+    )
