@@ -1,0 +1,42 @@
+"""Mapper configuration.
+
+Replaces the reference's nvBowtie params (ref:
+nvBowtie/bowtie2/cuda/params.h — ``Params``, ``parse_options``) with a
+frozen dataclass usable as a jit static argument.  Field names keep
+Bowtie2-compatible semantics where they exist (seed length, interval,
+score-min function, --mp style mismatch range).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..alignment.types import GotohScheme, AlignmentType
+
+
+@dataclass(frozen=True)
+class MapperParams:
+    # seeding (bowtie2 -L / -i equivalents; fixed interval for static shapes)
+    seed_len: int = 22
+    seed_interval: int = 11
+    # hit selection
+    max_hits_per_seed: int = 8  # SA rows expanded per seed
+    max_range: int = 64  # seeds with more hits are skipped as repetitive
+    max_candidates: int = 16  # distinct diagonals scored per read-strand
+    # extension
+    band_w: int = 15
+    scheme: GotohScheme = GotohScheme()
+    local: bool = False
+    # score-min linear function of read length: a + b * len (bowtie2
+    # end-to-end default --score-min L,-0.6,-0.6)
+    score_min_a: float = -0.6
+    score_min_b: float = -0.6
+    # index
+    sa_sample: int = 32
+    # batching
+    batch_size: int = 1024
+    max_read_len: int = 512  # genome pad reserve for window gathers
+
+    @property
+    def atype(self) -> AlignmentType:
+        return AlignmentType.LOCAL if self.local else AlignmentType.SEMI_GLOBAL

@@ -1,0 +1,137 @@
+"""End-to-end mapper test on a synthetic genome (ground-truth oracle).
+
+Plays the role of the reference's nvbio-aln-diff output validation
+(SURVEY.md §5.1) with a stronger oracle: simulated reads carry their
+true positions, so we check mapping accuracy, CIGAR consistency, and
+score reproducibility directly.
+"""
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.fmindex import build_fm_index
+from nvbio_tpu.models import Mapper, MapperParams
+from nvbio_tpu.strings import pack_reads
+from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+from nvbio_tpu.io.sam import SamRecord
+
+GENOME_N = 100_000
+N_READS = 64
+READ_LEN = 100
+
+
+@pytest.fixture(scope="module")
+def mapper():
+    genome = random_genome(GENOME_N, seed=7)
+    params = MapperParams(batch_size=N_READS, sa_sample=16,
+                          max_candidates=8)
+    fm, ssa = build_fm_index(genome, sa_sample=params.sa_sample)
+    return Mapper(fm, ssa, genome, params=params), genome
+
+
+def _score_from_path(scheme, pat, quals, window, t_start, cigar_ops):
+    s, i, j = 0, 0, t_start
+    for op, length in cigar_ops:
+        if op == "M":
+            for _ in range(length):
+                s += scheme.substitution(int(pat[i]), int(window[j]),
+                                         int(quals[i]))
+                i += 1
+                j += 1
+        else:
+            s -= scheme.gap_open + length * scheme.gap_extend
+            if op == "I":
+                i += length
+            else:
+                j += length
+    return s
+
+
+def test_mapper_end_to_end(mapper):
+    m, genome = mapper
+    sim = simulate_reads(genome, N_READS, READ_LEN, error_rate=0.01,
+                         indel_rate=0.002, seed=3)
+    reads, lens, quals, _ = pack_reads(list(sim["seqs"].astype(np.uint8)),
+                                       list(sim["quals"]))
+    results = m.map_reads(reads, lens, quals)
+
+    n_aligned = sum(r.aligned for r in results)
+    assert n_aligned >= int(0.95 * N_READS), f"only {n_aligned} aligned"
+
+    correct = 0
+    for r, mr in enumerate(results):
+        if not mr.aligned:
+            continue
+        if (
+            mr.strand == int(sim["true_strand"][r])
+            and abs(mr.pos - int(sim["true_pos"][r])) <= 8
+        ):
+            correct += 1
+        # CIGAR must consume the whole read (end-to-end mode)
+        consumed = 0
+        num = ""
+        for ch in mr.cigar:
+            if ch.isdigit():
+                num += ch
+            else:
+                if ch in "MIS":
+                    consumed += int(num)
+                num = ""
+        assert consumed == lens[r], f"read {r}: cigar {mr.cigar}"
+    assert correct >= int(0.9 * n_aligned), f"{correct}/{n_aligned} correct"
+
+
+def test_scores_reproducible_from_cigar(mapper):
+    m, genome = mapper
+    sim = simulate_reads(genome, N_READS, READ_LEN, error_rate=0.02,
+                         indel_rate=0.004, seed=9)
+    reads, lens, quals, _ = pack_reads(list(sim["seqs"].astype(np.uint8)),
+                                       list(sim["quals"]))
+    results = m.map_reads(reads, lens, quals)
+    scheme = m.params.scheme
+    W = m.params.band_w
+    checked = 0
+    for r, mr in enumerate(results):
+        if not mr.aligned:
+            continue
+        pat = reads[r, : lens[r]].astype(np.uint8)
+        q = quals[r, : lens[r]]
+        if mr.strand:
+            pat = np.where(pat < 4, 3 - pat, pat)[::-1].astype(np.uint8)
+            q = q[::-1]
+        # reconstruct the path from the CIGAR against the genome
+        ops = []
+        num = ""
+        for ch in mr.cigar:
+            if ch.isdigit():
+                num += ch
+            else:
+                if ch != "S":
+                    ops.append((ch, int(num)))
+                num = ""
+        window = genome[max(0, mr.pos - W) : mr.pos + lens[r] + W]
+        t_start = mr.pos - max(0, mr.pos - W)
+        got = _score_from_path(scheme, pat, q, window, t_start, ops)
+        assert got == mr.score, f"read {r}: path {got} != score {mr.score}"
+        checked += 1
+    assert checked > 0
+
+
+def test_sam_records(mapper):
+    m, genome = mapper
+    sim = simulate_reads(genome, N_READS, READ_LEN, seed=5)
+    reads, lens, quals, _ = pack_reads(list(sim["seqs"].astype(np.uint8)),
+                                       list(sim["quals"]))
+    results = m.map_reads(reads, lens, quals)
+    names = [f"r{i}" for i in range(N_READS)]
+    recs = m.to_sam_records(names, reads, lens, quals, results)
+    assert len(recs) == N_READS
+    for rec in recs:
+        line = rec.to_line()
+        cols = line.split("\t")
+        assert len(cols) >= 11
+        assert 0 <= int(cols[4]) <= 42
+        if not (rec.flag & 0x4):
+            assert cols[2] == "ref"
+            assert int(cols[3]) >= 1
+            assert "M" in cols[5]
