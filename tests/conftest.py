@@ -8,7 +8,7 @@ env vars before the first `import jax` anywhere in the process.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon: tests run on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the environment's sitecustomize force-selects the axon TPU platform
+# even over JAX_PLATFORMS; override it after import
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
