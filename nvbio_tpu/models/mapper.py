@@ -68,8 +68,7 @@ def _score_perfect(lens, params: MapperParams):
     return (lens * params.scheme.match).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
-def map_batch(
+def candidate_stage(
     fm: FMIndex,
     ssa: SSA,
     genome,  # (n + pad,) int8, padded with PAD beyond position n
@@ -80,10 +79,12 @@ def map_batch(
     params: MapperParams,
     use_pallas: bool = False,
 ):
-    """Forward mapping step: per-read best/second alignments + MAPQ.
+    """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
-    Returns dict of (R,)-shaped arrays: aligned, score, second,
-    has_second, strand, win_start, t_end, p_end, mapq.
+    Returns dict of (R, 2C)-shaped arrays (C candidates per strand;
+    columns [0, C) = forward, [C, 2C) = reverse): score, win_start,
+    t_end, p_end — the shared front half of the SE and PE pipelines
+    (ref: best_approx_inl.h stages before reduce).
     """
     R, L = reads.shape
     S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
@@ -149,11 +150,43 @@ def map_batch(
         cand_ok.reshape(-1) & (plens > 0), res["score"], NEG_INF
     ).reshape(2 * R, C)
 
+    to_r2c = lambda a: a.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
+    return {
+        "score": to_r2c(scores),
+        "win_start": to_r2c(win_start),
+        "t_end": to_r2c(res["t_end"].reshape(2 * R, C)),
+        "p_end": to_r2c(res["p_end"].reshape(2 * R, C)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+def map_batch(
+    fm: FMIndex,
+    ssa: SSA,
+    genome,
+    reads,
+    lens,
+    quals,
+    *,
+    params: MapperParams,
+    use_pallas: bool = False,
+):
+    """Forward mapping step: per-read best/second alignments + MAPQ.
+
+    Returns dict of (R,)-shaped arrays: aligned, score, second,
+    has_second, strand, win_start, t_end, p_end, mapq.
+    """
+    R = reads.shape[0]
+    C = params.max_candidates
+    cands = candidate_stage(
+        fm, ssa, genome, reads, lens, quals,
+        params=params, use_pallas=use_pallas,
+    )
     # --- top-2 reduce across strands & candidates ---
-    sc = scores.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
-    t_end = res["t_end"].reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
-    p_end = res["p_end"].reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
-    ws = win_start.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
+    sc = cands["score"]
+    t_end = cands["t_end"]
+    p_end = cands["p_end"]
+    ws = cands["win_start"]
     bi = jnp.argmax(sc, axis=1)
     best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
     sc_masked = sc.at[jnp.arange(R), bi].set(NEG_INF)

@@ -1,0 +1,350 @@
+"""Paired-end mapping (Bowtie2-compatible semantics, FR orientation).
+
+Ref parity: the paired pipeline inside
+nvBowtie/bowtie2/cuda/best_approx_inl.h — concordant candidate pairing
+by insert size, opposite-mate window rescue (``score_opposite`` with
+``BestColumnSink``, ref: score_inl.h), discordant fallback, and pair
+MAPQ.  TPU re-design: both mates run the shared ``candidate_stage``,
+pairing is a dense (2C x 2C) score matrix per read pair (tiny: C is
+16), and mate rescue is one wide-band semi-global DP over the insert
+window — full-matrix search expressed in the same banded kernel.
+
+Decision ladder per pair (matching Bowtie2's default behavior):
+  1. best concordant candidate pair (each mate >= its score-min)
+  2. rescue: anchor = best single-end mate; scan the insert window for
+     the other mate
+  3. discordant: both mates uniquely aligned but not concordant
+  4. mixed: report each mate as single-end (or unmapped)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..alignment import banded_score_batch
+from ..alignment.types import NEG_INF
+from ..ops.banded_dp import banded_score_pallas
+from .params import MapperParams
+from .mapper import (
+    candidate_stage,
+    traceback_batch,
+    _revcomp_batch,
+    _score_min,
+    _score_perfect,
+    Mapper,
+    MapResult,
+    PAD,
+)
+from .mapq import mapq_v2
+from ..basic.alphabet import dna_to_char
+from ..io import sam as S
+
+
+def _se_reduce(c, lens, params):
+    """Top-2 single-end reduction over a candidate dict (R, 2C)."""
+    R = c["score"].shape[0]
+    C = params.max_candidates
+    sc = c["score"]
+    bi = jnp.argmax(sc, axis=1)
+    best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
+    second = jnp.max(sc.at[jnp.arange(R), bi].set(NEG_INF), axis=1)
+    smin = _score_min(lens, params)
+    take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
+    return {
+        "best": best,
+        "second": second,
+        "bi": bi,
+        "aligned": (best >= smin) & (lens > 0),
+        "strand": (bi // C).astype(jnp.int32),
+        "win_start": take(c["win_start"]),
+    }
+
+
+def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
+            mate_lens, mate_quals, params, use_pallas):
+    """Opposite-mate window search: semi-global DP of the mate (in the
+    orientation implied by FR) over the insert window of the anchor.
+
+    Returns (score, win_start, strand, t_end, p_end) for the rescued
+    mate; win_start is the window origin used (for traceback reuse)."""
+    R, L = mate_reads.shape
+    W = params.band_w
+    rescue_w = params.maxins + 2 * W  # diagonals cover the whole window
+    LT = L + 2 * rescue_w
+    rc_reads, rc_quals = _revcomp_batch(mate_reads, mate_lens, mate_quals)
+    # anchor fwd -> mate is RC, window starts at the anchor; anchor rev
+    # -> mate is FWD, window ends at the anchor's right end
+    m_strand = jnp.where(anchor_strand == 0, 1, 0).astype(jnp.int32)
+    pats = jnp.where(m_strand[:, None] == 1, rc_reads, mate_reads)
+    pquals = jnp.where(m_strand[:, None] == 1, rc_quals, mate_quals)
+    ws_fwd_anchor = anchor_ws  # mate downstream of a forward anchor
+    ws_rev_anchor = anchor_ws + anchor_len - params.maxins - 2 * W
+    win_start = jnp.where(anchor_strand == 0, ws_fwd_anchor, ws_rev_anchor)
+    win_start = jnp.clip(win_start, 0, jnp.maximum(n - 1, 0)).astype(jnp.int32)
+    gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
+    texts = genome[gidx]
+    tlens = jnp.clip(n - win_start, 0, LT)
+    score_fn = banded_score_pallas if use_pallas else banded_score_batch
+    res = score_fn(
+        pats, mate_lens, texts, tlens, pquals,
+        scheme=params.scheme, atype=params.atype, band_w=rescue_w,
+    )
+    # tighten the window to the found alignment so the winners-only
+    # traceback (band_w-banded) sees it near diagonal 0
+    ws_tight = jnp.clip(
+        win_start + res["t_end"] - res["p_end"], 0, jnp.maximum(n - 1, 0)
+    ).astype(jnp.int32)
+    return {
+        "score": res["score"],
+        "win_start": ws_tight,
+        "strand": m_strand,
+        "t_end": res["t_end"],
+        "p_end": res["p_end"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+def pe_map_batch(
+    fm, ssa, genome, r1, l1, q1, r2, l2, q2, *,
+    params: MapperParams, use_pallas: bool = False,
+):
+    """Paired forward step.  Returns per-mate dicts (aligned, strand,
+    win_start, score, mapq, rescue_w used) + pair-level info (proper,
+    discordant)."""
+    R = r1.shape[0]
+    C = params.max_candidates
+    n = fm.n
+    c1 = candidate_stage(fm, ssa, genome, r1, l1, q1, params=params,
+                         use_pallas=use_pallas)
+    c2 = candidate_stage(fm, ssa, genome, r2, l2, q2, params=params,
+                         use_pallas=use_pallas)
+    smin1 = _score_min(l1, params)
+    smin2 = _score_min(l2, params)
+
+    # --- concordant pairing over the candidate matrix ---
+    cols = jnp.arange(2 * C, dtype=jnp.int32)
+    st1 = (cols // C)[None, :, None]  # strand of mate1 candidate
+    st2 = (cols // C)[None, None, :]
+    p1 = c1["win_start"][:, :, None]
+    p2 = c2["win_start"][:, None, :]
+    s1ok = (c1["score"] >= smin1[:, None])[:, :, None]
+    s2ok = (c2["score"] >= smin2[:, None])[:, None, :]
+    # FR: fwd mate first, rev mate second; insert = rev_end - fwd_start.
+    # win_start approximates alignment start to within band_w: allow
+    # that much slack on the insert bounds.
+    slack = params.band_w
+    ins_a = p2 + l2[:, None, None] - p1  # mate1 fwd, mate2 rev
+    conc_a = (st1 == 0) & (st2 == 1) & (ins_a >= params.minins - slack) & (
+        ins_a <= params.maxins + slack)
+    ins_b = p1 + l1[:, None, None] - p2  # mate2 fwd, mate1 rev
+    conc_b = (st1 == 1) & (st2 == 0) & (ins_b >= params.minins - slack) & (
+        ins_b <= params.maxins + slack)
+    conc = (conc_a | conc_b) & s1ok & s2ok
+    pair_sc = jnp.where(
+        conc, c1["score"][:, :, None] + c2["score"][:, None, :], NEG_INF
+    ).reshape(R, 4 * C * C)
+    pbi = jnp.argmax(pair_sc, axis=1)
+    pair_best = jnp.take_along_axis(pair_sc, pbi[:, None], axis=1)[:, 0]
+    pair_second = jnp.max(
+        pair_sc.at[jnp.arange(R), pbi].set(NEG_INF), axis=1
+    )
+    has_conc = pair_best > NEG_INF // 2
+    i1 = pbi // (2 * C)
+    i2 = pbi % (2 * C)
+
+    se1 = _se_reduce(c1, l1, params)
+    se2 = _se_reduce(c2, l2, params)
+
+    # --- mate rescue (anchor = the better-aligned single mate) ---
+    if params.enable_rescue:
+        res2 = _rescue(genome, n, se1["win_start"], se1["strand"], l1,
+                       r2, l2, q2, params, use_pallas)
+        res1 = _rescue(genome, n, se2["win_start"], se2["strand"], l2,
+                       r1, l1, q1, params, use_pallas)
+        resc2_ok = se1["aligned"] & (res2["score"] >= smin2)
+        resc1_ok = se2["aligned"] & (res1["score"] >= smin1)
+        # prefer the rescue with the higher pair score
+        rsc_a = jnp.where(resc2_ok, se1["best"] + res2["score"], NEG_INF)
+        rsc_b = jnp.where(resc1_ok, se2["best"] + res1["score"], NEG_INF)
+        use_a = rsc_a >= rsc_b
+        has_rescue = (rsc_a > NEG_INF // 2) | (rsc_b > NEG_INF // 2)
+        rescue_pair = jnp.where(use_a, rsc_a, rsc_b)
+    else:
+        has_rescue = jnp.zeros(R, bool)
+        use_a = jnp.ones(R, bool)
+        rescue_pair = jnp.full(R, NEG_INF, jnp.int32)
+        res1 = res2 = None
+
+    proper = has_conc | ((~has_conc) & has_rescue)
+    discordant = (~proper) & se1["aligned"] & se2["aligned"]
+
+    take1 = lambda a: jnp.take_along_axis(a, i1[:, None], axis=1)[:, 0]
+    take2 = lambda a: jnp.take_along_axis(a, i2[:, None], axis=1)[:, 0]
+
+    def pick(which):
+        """Final per-mate fields by the decision ladder."""
+        se, other_se, cand, i, take, smin, lens, res = (
+            (se1, se2, c1, i1, take1, smin1, l1, res1)
+            if which == 1
+            else (se2, se1, c2, i2, take2, smin2, l2, res2)
+        )
+        # layer 1: concordant candidate
+        strand = jnp.where(has_conc, (i // C).astype(jnp.int32), se["strand"])
+        ws = jnp.where(has_conc, take(cand["win_start"]), se["win_start"])
+        score = jnp.where(has_conc, take(cand["score"]), se["best"])
+        aligned = jnp.where(has_conc, True, se["aligned"])
+        # layer 2: rescue overrides when no concordant pair
+        if params.enable_rescue:
+            # mate1 is rescued when use_a is False (anchor = mate2)
+            resc_here = (~has_conc) & has_rescue & (
+                (~use_a) if which == 1 else use_a
+            )
+            strand = jnp.where(resc_here, res["strand"], strand)
+            ws = jnp.where(resc_here, res["win_start"], ws)
+            score = jnp.where(resc_here, res["score"], score)
+            aligned = aligned | resc_here
+        return aligned, strand, ws, score
+
+    a1, st1f, ws1, sc1 = pick(1)
+    a2, st2f, ws2, sc2 = pick(2)
+
+    # --- MAPQ: pair-level for proper pairs, SE otherwise ---
+    sperf = _score_perfect(l1, params) + _score_perfect(l2, params)
+    sminp = smin1 + smin2
+    pair_best_eff = jnp.where(has_conc, pair_best, rescue_pair)
+    pair_second_eff = jnp.where(has_conc, pair_second, NEG_INF)
+    mq_pair = mapq_v2(pair_best_eff, pair_second_eff,
+                      pair_second_eff > NEG_INF // 2, sminp, sperf)
+    mq1_se = mapq_v2(se1["best"], se1["second"],
+                     se1["second"] >= smin1, smin1, _score_perfect(l1, params))
+    mq2_se = mapq_v2(se2["best"], se2["second"],
+                     se2["second"] >= smin2, smin2, _score_perfect(l2, params))
+    mq1 = jnp.where(proper, mq_pair, mq1_se)
+    mq2 = jnp.where(proper, mq_pair, mq2_se)
+
+    return (
+        {"aligned": a1 & (l1 > 0), "strand": st1f, "win_start": ws1,
+         "score": sc1, "mapq": jnp.where(a1, mq1, 0)},
+        {"aligned": a2 & (l2 > 0), "strand": st2f, "win_start": ws2,
+         "score": sc2, "mapq": jnp.where(a2, mq2, 0)},
+        {"proper": proper, "discordant": discordant & ~proper},
+    )
+
+
+class PairedMapper(Mapper):
+    """Paired-end orchestration: pe forward step + per-mate traceback +
+    SAM with pair flags (ref: nvBowtie ComputeThreadPE + output)."""
+
+    def map_pairs(self, seqs1, lens1, quals1, seqs2, lens2, quals2):
+        """Returns (results1, results2, pair_info list of dicts)."""
+        R = seqs1.shape[0]
+        B = self.params.batch_size
+        out1, out2, info = [], [], []
+        for s0 in range(0, R, B):
+            r1, r2, pi = self._map_pair_chunk(
+                seqs1[s0:s0 + B], lens1[s0:s0 + B], quals1[s0:s0 + B],
+                seqs2[s0:s0 + B], lens2[s0:s0 + B], quals2[s0:s0 + B],
+            )
+            out1.extend(r1)
+            out2.extend(r2)
+            info.extend(pi)
+        return out1, out2, info
+
+    def _map_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        R = s1.shape[0]
+        B = self.params.batch_size
+
+        def padto(a, fill):
+            if a.shape[0] >= B:
+                return a
+            pad = np.full((B - a.shape[0],) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, pad])
+
+        s1p, s2p = padto(s1, PAD), padto(s2, PAD)
+        l1p, l2p = padto(l1, 0), padto(l2, 0)
+        q1p, q2p = padto(q1, 0), padto(q2, 0)
+        args = tuple(
+            jnp.asarray(a.astype(np.int32) if a.dtype != np.int8 else a)
+            for a in (s1p, l1p, q1p, s2p, l2p, q2p)
+        )
+        m1, m2, pair = pe_map_batch(
+            self.fm, self.ssa, self.genome, *args,
+            params=self.params, use_pallas=self.use_pallas,
+        )
+        nj = jnp.asarray(self.n, jnp.int32)
+        res1 = []
+        res2 = []
+        for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
+                                   (m2, (s2p, l2p, q2p))):
+            res, dirs = traceback_batch(
+                self.genome, nj, jnp.asarray(sp),
+                jnp.asarray(lp.astype(np.int32)),
+                jnp.asarray(qp.astype(np.int32)),
+                mate["win_start"], mate["strand"], params=self.params,
+            )
+            fwd = dict(mate)
+            fwd["second"] = jnp.full(B, NEG_INF, jnp.int32)
+            fwd["has_second"] = jnp.zeros(B, bool)
+            (res1 if mate is m1 else res2).extend(
+                self._finish(sp, lp, qp, fwd, res, dirs)
+            )
+        proper = np.asarray(pair["proper"])
+        discordant = np.asarray(pair["discordant"])
+        info = [
+            {"proper": bool(proper[i]), "discordant": bool(discordant[i])}
+            for i in range(R)
+        ]
+        return res1[:R], res2[:R], info
+
+    def to_sam_records_pe(self, names, s1, l1, q1, s2, l2, q2,
+                          res1, res2, info):
+        """SAM records for both mates with pair flags/PNEXT/TLEN."""
+        recs = []
+        for i in range(len(names)):
+            r1, r2, pi = res1[i], res2[i], info[i]
+            recs.append(self._pe_record(names[i], s1[i], l1[i], q1[i],
+                                        r1, r2, pi, first=True))
+            recs.append(self._pe_record(names[i], s2[i], l2[i], q2[i],
+                                        r2, r1, pi, first=False))
+        return recs
+
+    def _pe_record(self, name, seq, ln, qual, mine, other, pi, first):
+        pat = seq[:ln].astype(np.uint8)
+        q = qual[:ln].astype(np.uint8)
+        if mine.aligned and mine.strand == 1:
+            pat = np.where(pat < 4, 3 - pat, pat)[::-1].astype(np.uint8)
+            q = q[::-1]
+        seq_str = dna_to_char(pat).tobytes().decode()
+        qual_str = (q + 33).tobytes().decode()
+        flag = S.FLAG_PAIRED | (S.FLAG_READ1 if first else S.FLAG_READ2)
+        if not mine.aligned:
+            flag |= S.FLAG_UNMAPPED
+        elif mine.strand:
+            flag |= S.FLAG_REVERSE
+        if not other.aligned:
+            flag |= S.FLAG_MATE_UNMAPPED
+        elif other.strand:
+            flag |= S.FLAG_MATE_REVERSE
+        if pi["proper"] and mine.aligned and other.aligned:
+            flag |= S.FLAG_PROPER_PAIR
+        if not mine.aligned:
+            return S.SamRecord(name, flag, "*", 0, 0, "*", seq_str, qual_str)
+        tlen = 0
+        rnext, pnext = "*", 0
+        if other.aligned:
+            rnext = "="
+            pnext = other.pos + 1
+            left = min(mine.pos, other.pos)
+            right = max(mine.pos + ln, other.pos + ln)  # approx frag end
+            tlen = right - left
+            if mine.pos > other.pos or (mine.pos == other.pos and not first):
+                tlen = -tlen
+        tags = [("AS", "i", mine.score), ("NM", "i", mine.nm),
+                ("MD", "Z", mine.md)]
+        return S.SamRecord(name, flag, self.ref_name, mine.pos + 1,
+                           mine.mapq, mine.cigar, seq_str, qual_str,
+                           rnext=rnext, pnext=pnext, tlen=tlen, tags=tags)

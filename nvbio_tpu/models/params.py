@@ -33,6 +33,10 @@ class MapperParams:
     score_min_b: float = -0.6
     # index
     sa_sample: int = 32
+    # paired-end (bowtie2 --minins/--maxins, FR orientation default)
+    minins: int = 0
+    maxins: int = 500
+    enable_rescue: bool = True  # opposite-mate window search
     # batching
     batch_size: int = 1024
     max_read_len: int = 512  # genome pad reserve for window gathers

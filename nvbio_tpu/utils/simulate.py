@@ -70,3 +70,41 @@ def simulate_reads(
         "true_pos": starts.astype(np.int64),
         "true_strand": strands.astype(np.int8),
     }
+
+
+def simulate_pairs(
+    genome: np.ndarray,
+    n_pairs: int,
+    read_len: int = 100,
+    insert_mean: int = 300,
+    insert_sd: int = 30,
+    error_rate: float = 0.01,
+    seed: int = 2,
+):
+    """FR paired-end reads: mate1 = fragment 5' (forward), mate2 =
+    fragment 3' (reverse-complement).  Returns per-mate seq/qual plus
+    ground-truth fragment starts."""
+    rng = np.random.default_rng(seed)
+    n = len(genome)
+    inserts = np.clip(
+        rng.normal(insert_mean, insert_sd, n_pairs).astype(int),
+        read_len, None,
+    )
+    starts = rng.integers(0, n - inserts.max() - 1, n_pairs)
+    s1 = np.zeros((n_pairs, read_len), dtype=np.int8)
+    s2 = np.zeros((n_pairs, read_len), dtype=np.int8)
+    q1 = rng.integers(25, 41, (n_pairs, read_len)).astype(np.uint8)
+    q2 = rng.integers(25, 41, (n_pairs, read_len)).astype(np.uint8)
+    for r in range(n_pairs):
+        frag = genome[starts[r] : starts[r] + inserts[r]]
+        m1 = frag[:read_len].copy()
+        m2 = reverse_complement(frag[-read_len:].copy())
+        for m in (m1, m2):
+            errs = rng.random(read_len) < error_rate
+            m[errs] = (m[errs] + 1 + rng.integers(0, 3, errs.sum())) % 4
+        s1[r], s2[r] = m1, m2
+    return {
+        "seqs1": s1, "quals1": q1, "seqs2": s2, "quals2": q2,
+        "true_pos": starts.astype(np.int64),
+        "insert": inserts.astype(np.int64),
+    }

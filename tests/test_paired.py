@@ -1,0 +1,94 @@
+"""Paired-end pipeline: concordant pairing, rescue, SAM pair flags."""
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.fmindex import build_fm_index
+from nvbio_tpu.models import MapperParams
+from nvbio_tpu.models.paired import PairedMapper
+from nvbio_tpu.utils.simulate import random_genome, simulate_pairs
+
+GENOME_N = 80_000
+N_PAIRS = 32
+READ_LEN = 80
+
+
+@pytest.fixture(scope="module")
+def pmapper():
+    genome = random_genome(GENOME_N, seed=17)
+    params = MapperParams(batch_size=N_PAIRS, sa_sample=16,
+                          max_candidates=8, minins=0, maxins=400)
+    fm, ssa = build_fm_index(genome, sa_sample=params.sa_sample)
+    return PairedMapper(fm, ssa, genome, params=params), genome
+
+
+def test_paired_end_to_end(pmapper):
+    m, genome = pmapper
+    sim = simulate_pairs(genome, N_PAIRS, READ_LEN, insert_mean=250,
+                         insert_sd=25, seed=4)
+    l1 = np.full(N_PAIRS, READ_LEN, np.int32)
+    res1, res2, info = m.map_pairs(
+        sim["seqs1"], l1, sim["quals1"], sim["seqs2"], l1, sim["quals2"]
+    )
+    n_proper = sum(i["proper"] for i in info)
+    assert n_proper >= int(0.9 * N_PAIRS), f"only {n_proper} proper pairs"
+
+    correct = 0
+    for r in range(N_PAIRS):
+        if not (res1[r].aligned and res2[r].aligned):
+            continue
+        # FR: mate1 fwd at fragment start, mate2 rev at fragment end
+        frag_start = int(sim["true_pos"][r])
+        frag_end = frag_start + int(sim["insert"][r])
+        ok1 = res1[r].strand == 0 and abs(res1[r].pos - frag_start) <= 5
+        ok2 = res2[r].strand == 1 and abs(
+            res2[r].pos + READ_LEN - frag_end) <= 5
+        if ok1 and ok2:
+            correct += 1
+    assert correct >= int(0.85 * N_PAIRS), f"{correct}/{N_PAIRS} correct"
+
+
+def test_paired_sam_flags(pmapper):
+    m, genome = pmapper
+    sim = simulate_pairs(genome, N_PAIRS, READ_LEN, insert_mean=250,
+                         seed=6)
+    l1 = np.full(N_PAIRS, READ_LEN, np.int32)
+    res1, res2, info = m.map_pairs(
+        sim["seqs1"], l1, sim["quals1"], sim["seqs2"], l1, sim["quals2"]
+    )
+    names = [f"p{i}" for i in range(N_PAIRS)]
+    recs = m.to_sam_records_pe(
+        names, sim["seqs1"], l1, sim["quals1"],
+        sim["seqs2"], l1, sim["quals2"], res1, res2, info,
+    )
+    assert len(recs) == 2 * N_PAIRS
+    for i in range(0, len(recs), 2):
+        r1, r2 = recs[i], recs[i + 1]
+        assert r1.flag & 0x1 and r2.flag & 0x1  # paired
+        assert (r1.flag & 0x40) and (r2.flag & 0x80)  # read1/read2
+        if r1.flag & 0x2:  # proper pair
+            assert r2.flag & 0x2
+            assert {r1.flag & 0x10, r2.flag & 0x10} == {0, 0x10}  # FR
+            assert r1.tlen == -r2.tlen and r1.tlen != 0
+            assert r1.rnext == "=" and r2.rnext == "="
+
+
+def test_rescue_recovers_mate(pmapper):
+    """Corrupt mate2's seeds so only rescue can place it."""
+    m, genome = pmapper
+    sim = simulate_pairs(genome, N_PAIRS, READ_LEN, insert_mean=200,
+                         insert_sd=10, error_rate=0.0, seed=8)
+    # heavy uniform corruption of mate2: every seed_len-th base flipped
+    # kills exact seeding but keeps the alignment score above score-min
+    s2 = sim["seqs2"].copy()
+    for k in range(4, READ_LEN, 12):
+        s2[:, k] = (s2[:, k] + 1) % 4
+    l1 = np.full(N_PAIRS, READ_LEN, np.int32)
+    res1, res2, info = m.map_pairs(
+        sim["seqs1"], l1, sim["quals1"], s2, l1, sim["quals2"]
+    )
+    n_proper = sum(i["proper"] for i in info)
+    n2 = sum(r.aligned for r in res2)
+    # without rescue these mates have no exact 22-mer seeds
+    assert n2 >= int(0.8 * N_PAIRS), f"only {n2} mate2 aligned"
+    assert n_proper >= int(0.8 * N_PAIRS)
