@@ -247,7 +247,7 @@ class MapResult:
     """One read's final alignment (host-side)."""
 
     aligned: bool
-    pos: int = 0  # 0-based genome position of the alignment start
+    pos: int = 0  # 0-based concat-genome position of the alignment start
     strand: int = 0
     score: int = 0
     second: int | None = None
@@ -255,6 +255,7 @@ class MapResult:
     cigar: str = "*"
     md: str = ""
     nm: int = 0
+    ref_span: int = 0  # genome bases consumed (CIGAR M+D)
 
 
 class Mapper:
@@ -266,12 +267,18 @@ class Mapper:
 
     def __init__(self, fm, ssa, genome_symbols: np.ndarray,
                  params: MapperParams = MapperParams(),
-                 ref_name: str = "ref", use_pallas: bool | None = None):
+                 ref_name: str = "ref", use_pallas: bool | None = None,
+                 contigs: dict | None = None):
         self.fm = fm
         self.ssa = ssa
         self.params = params
         self.ref_name = ref_name
         self.n = int(genome_symbols.shape[0])
+        # contig table for multi-sequence references (nvBWT .ann equiv)
+        if contigs is None:
+            contigs = {"names": [ref_name], "starts": np.zeros(1, np.int64),
+                       "lens": np.array([self.n], np.int64)}
+        self.contigs = contigs
         lt_pad = params.max_read_len + 2 * params.band_w + 8
         gp = np.full(self.n + lt_pad, PAD, dtype=np.int8)
         gp[: self.n] = genome_symbols
@@ -342,9 +349,11 @@ class Mapper:
                 pat = np.where(pat < 4, 3 - pat, pat)[::-1].astype(np.uint8)
             window = genome[win_start[r] : win_start[r] + lens[r] + 2 * W]
             md, nm = make_md_string(pat, window, p_start, t_start, cigar_ops)
+            ref_span = sum(l for op, l in cigar_ops if op in "MD")
             results.append(
                 MapResult(
                     aligned=True,
+                    ref_span=ref_span,
                     pos=int(win_start[r] + t_start),
                     strand=int(strand[r]),
                     score=int(score[r]),
@@ -359,6 +368,17 @@ class Mapper:
             )
         return results
 
+    def locate_contig(self, mr: MapResult):
+        """Concat position -> (contig name, local pos); None if the
+        alignment crosses a contig boundary (reported unmapped)."""
+        from ..io.genome import concat_to_contig
+
+        return concat_to_contig(
+            mr.pos, max(mr.ref_span, 1),
+            self.contigs["starts"], self.contigs["lens"],
+            self.contigs["names"],
+        )
+
     def to_sam_records(self, names, seqs, lens, quals,
                        results: list[MapResult]):
         """Convert MapResults to SamRecords (SEQ is the forward-strand
@@ -372,10 +392,12 @@ class Mapper:
                 q = q[::-1]
             seq_str = dna_to_char(pat).tobytes().decode()
             qual_str = (q + 33).tobytes().decode()
-            if not mr.aligned:
+            loc = self.locate_contig(mr) if mr.aligned else None
+            if not mr.aligned or loc is None:
                 recs.append(SamRecord(names[i], FLAG_UNMAPPED, "*", 0, 0,
                                       "*", seq_str, qual_str))
                 continue
+            rname, lpos = loc
             tags = [("AS", "i", mr.score), ("NM", "i", mr.nm),
                     ("MD", "Z", mr.md)]
             if mr.second is not None:
@@ -384,8 +406,8 @@ class Mapper:
                 SamRecord(
                     names[i],
                     FLAG_REVERSE if mr.strand else 0,
-                    self.ref_name,
-                    mr.pos + 1,
+                    rname,
+                    lpos + 1,
                     mr.mapq,
                     mr.cigar,
                     seq_str,

@@ -331,20 +331,25 @@ class PairedMapper(Mapper):
             flag |= S.FLAG_MATE_REVERSE
         if pi["proper"] and mine.aligned and other.aligned:
             flag |= S.FLAG_PROPER_PAIR
-        if not mine.aligned:
+        loc = self.locate_contig(mine) if mine.aligned else None
+        if not mine.aligned or loc is None:
             return S.SamRecord(name, flag, "*", 0, 0, "*", seq_str, qual_str)
+        rname, lpos = loc
         tlen = 0
         rnext, pnext = "*", 0
-        if other.aligned:
-            rnext = "="
-            pnext = other.pos + 1
-            left = min(mine.pos, other.pos)
-            right = max(mine.pos + ln, other.pos + ln)  # approx frag end
-            tlen = right - left
-            if mine.pos > other.pos or (mine.pos == other.pos and not first):
-                tlen = -tlen
+        oloc = self.locate_contig(other) if other.aligned else None
+        if oloc is not None:
+            ornm, opos = oloc
+            rnext = "=" if ornm == rname else ornm
+            pnext = opos + 1
+            if rnext == "=":
+                left = min(lpos, opos)
+                right = max(lpos + ln, opos + ln)  # approx frag end
+                tlen = right - left
+                if lpos > opos or (lpos == opos and not first):
+                    tlen = -tlen
         tags = [("AS", "i", mine.score), ("NM", "i", mine.nm),
                 ("MD", "Z", mine.md)]
-        return S.SamRecord(name, flag, self.ref_name, mine.pos + 1,
+        return S.SamRecord(name, flag, rname, lpos + 1,
                            mine.mapq, mine.cigar, seq_str, qual_str,
                            rnext=rnext, pnext=pnext, tlen=tlen, tags=tags)

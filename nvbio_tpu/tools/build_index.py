@@ -1,0 +1,51 @@
+"""Index builder CLI (nvBWT + nvSSA equivalent).
+
+Ref parity: nvBWT/nvBWT.cpp (FASTA -> pack -> N-substitution -> BWT)
+and nvSSA/nvSSA.cpp (sampled SA); both outputs land in one container.
+Optionally also emits a BWA-layout .pac for interop (Appendix A).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="build_index", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("fasta", help="reference FASTA (.fa/.fa.gz)")
+    p.add_argument("output", help="output index (.npz)")
+    p.add_argument("--sa-sample", type=int, default=32,
+                   help="SA sampling rate (nvSSA K)")
+    p.add_argument("--n-seed", type=int, default=7,
+                   help="RNG seed for ambiguous-base substitution")
+    p.add_argument("--pac", help="also write a BWA-layout .pac here")
+    args = p.parse_args(argv)
+
+    from ..io.fasta import read_fasta
+    from ..io.genome import prepare_genome
+    from ..io.index_file import save_index, write_pac
+    from ..fmindex import build_fm_index
+
+    t0 = time.time()
+    records = read_fasta(args.fasta)
+    g = prepare_genome(records, n_sub_seed=args.n_seed)
+    print(f"[build_index] {len(records)} contigs, "
+          f"{len(g['symbols'])} bp, {len(g['amb'])} ambiguity runs",
+          file=sys.stderr)
+    fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample)
+    save_index(args.output, fm, ssa, g["symbols"].astype("int8"),
+               g["names"], g["lens"], args.sa_sample)
+    if args.pac:
+        write_pac(args.pac, g["symbols"])
+    print(f"[build_index] wrote {args.output} in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Mapper CLI (nvBowtie equivalent): index + FASTQ -> SAM.
+
+Ref parity: nvBowtie/nvBowtie.cpp main + params.cpp flags.  Option
+names keep Bowtie2 conventions where they exist (-U/-1/-2/-S, -L
+seed length, -i interval, --minins/--maxins, --local).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="map_reads", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("-x", "--index", required=True, help="index .npz")
+    p.add_argument("-U", help="unpaired reads FASTQ(.gz)")
+    p.add_argument("-1", dest="m1", help="mate-1 FASTQ(.gz)")
+    p.add_argument("-2", dest="m2", help="mate-2 FASTQ(.gz)")
+    p.add_argument("-S", "--sam", required=True, help="output SAM(.gz)")
+    p.add_argument("-L", "--seed-len", type=int, default=22)
+    p.add_argument("-i", "--seed-interval", type=int, default=11)
+    p.add_argument("--max-read-len", type=int, default=320)
+    p.add_argument("--minins", type=int, default=0)
+    p.add_argument("--maxins", type=int, default=500)
+    p.add_argument("--local", action="store_true")
+    p.add_argument("--batch", type=int, default=4096,
+                   help="reads per device batch")
+    p.add_argument("--stats", help="write stats JSON here")
+    p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
+    args = p.parse_args(argv)
+    if not args.U and not (args.m1 and args.m2):
+        p.error("need -U or -1/-2")
+
+    import numpy as np
+    from ..io.index_file import load_index
+    from ..io.fastq import FastqBatchReader
+    from ..io.sam import SamWriter
+    from ..models import MapperParams, Mapper
+    from ..models.paired import PairedMapper
+    from ..strings import pack_reads
+    from ..utils.stats import MappingStats
+
+    fm, ssa, genome, meta = load_index(args.index)
+    params = MapperParams(
+        seed_len=args.seed_len,
+        seed_interval=args.seed_interval,
+        local=args.local,
+        minins=args.minins,
+        maxins=args.maxins,
+        batch_size=args.batch,
+        sa_sample=meta["sa_sample"],
+        max_read_len=args.max_read_len,
+    )
+    contigs = {
+        "names": meta["contig_names"],
+        "starts": np.concatenate(
+            [[0], np.cumsum(meta["contig_lens"][:-1])]
+        ).astype(np.int64),
+        "lens": np.array(meta["contig_lens"], dtype=np.int64),
+    }
+    cls = PairedMapper if args.m1 else Mapper
+    mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
+                 use_pallas=False if args.cpu else None)
+    stats = MappingStats()
+    writer = SamWriter(args.sam, meta["contig_names"], meta["contig_lens"],
+                       cmdline=" ".join(argv or sys.argv[1:]))
+
+    with stats.timer("total"):
+        if args.U:
+            for names, seqs, quals in FastqBatchReader(args.U, args.batch):
+                reads, lens, qmat, _ = pack_reads(
+                    seqs, quals, max_len=args.max_read_len)
+                with stats.timer("compute"):
+                    results = mapper.map_reads(reads, lens, qmat)
+                stats.observe(results)
+                with stats.timer("output"):
+                    for rec in mapper.to_sam_records(
+                            names, reads, lens, qmat, results):
+                        writer.write(rec)
+        else:
+            it1 = FastqBatchReader(args.m1, args.batch)
+            it2 = FastqBatchReader(args.m2, args.batch)
+            for (n1, s1, q1), (n2, s2, q2) in zip(it1, it2):
+                r1, l1, qm1, _ = pack_reads(s1, q1, max_len=args.max_read_len)
+                r2, l2, qm2, _ = pack_reads(s2, q2, max_len=args.max_read_len)
+                with stats.timer("compute"):
+                    res1, res2, info = mapper.map_pairs(
+                        r1, l1, qm1, r2, l2, qm2)
+                stats.observe(res1)
+                stats.observe(res2)
+                stats.proper_pairs += sum(i["proper"] for i in info)
+                stats.discordant += sum(i["discordant"] for i in info)
+                with stats.timer("output"):
+                    for rec in mapper.to_sam_records_pe(
+                            n1, r1, l1, qm1, r2, l2, qm2, res1, res2, info):
+                        writer.write(rec)
+    writer.close()
+    report = stats.report(file=sys.stderr)
+    if args.stats:
+        with open(args.stats, "w") as f:
+            f.write(report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Tool-layer tests: index build/save/load roundtrip, mapper CLI on a
+multi-contig genome with Ns, aln-diff self-comparison, pac interop."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.basic.alphabet import decode_dna
+from nvbio_tpu.io.fasta import write_fasta
+from nvbio_tpu.io.fastq import write_fastq
+from nvbio_tpu.io.index_file import write_pac, read_pac
+from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+from nvbio_tpu.tools import build_index, map_reads, aln_diff, extract_reads
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tools")
+    rng = np.random.default_rng(0)
+    c1 = random_genome(30_000, seed=21)
+    c2 = random_genome(20_000, seed=22)
+    c1[5000:5010] = 4  # an N run
+    write_fasta(d / "ref.fa", [("chr1", c1), ("chr2", c2)])
+    # simulate reads from contig 2 (no Ns there)
+    sim = simulate_reads(c2, 48, 100, seed=23)
+    write_fastq(
+        d / "reads.fq",
+        [(f"r{i}", sim["seqs"][i].astype(np.uint8), sim["quals"][i])
+         for i in range(48)],
+    )
+    return d, sim
+
+
+def test_pac_roundtrip(tmp_path):
+    for n in (5, 8, 9, 1000):
+        syms = np.random.default_rng(n).integers(0, 4, n).astype(np.uint8)
+        write_pac(tmp_path / "x.pac", syms)
+        np.testing.assert_array_equal(read_pac(tmp_path / "x.pac"), syms)
+
+
+def test_build_and_map(workdir):
+    d, sim = workdir
+    assert build_index.main([str(d / "ref.fa"), str(d / "idx.npz"),
+                             "--sa-sample", "16"]) == 0
+    rc = map_reads.main([
+        "-x", str(d / "idx.npz"), "-U", str(d / "reads.fq"),
+        "-S", str(d / "out.sam"), "--batch", "48", "--cpu",
+        "--max-read-len", "128",
+        "--stats", str(d / "stats.json"),
+    ])
+    assert rc == 0
+    stats = json.load(open(d / "stats.json"))
+    assert stats["reads"] == 48
+    assert stats["aligned"] >= 44
+
+    lines = [l for l in open(d / "out.sam") if not l.startswith("@")]
+    assert len(lines) == 48
+    hdr = [l for l in open(d / "out.sam") if l.startswith("@SQ")]
+    assert any("chr1" in h for h in hdr) and any("chr2" in h for h in hdr)
+    # reads came from chr2: every mapped read must be on chr2 with a
+    # position near the simulated one
+    ok = 0
+    for l in lines:
+        c = l.split("\t")
+        if int(c[1]) & 0x4:
+            continue
+        assert c[2] == "chr2", l
+        r = int(c[0][1:])
+        if abs(int(c[3]) - 1 - sim["true_pos"][r]) <= 8:
+            ok += 1
+    assert ok >= 40
+
+
+def test_aln_diff_self(workdir, capsys):
+    d, _ = workdir
+    rc = aln_diff.main([str(d / "out.sam"), str(d / "out.sam")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["stats"]["same_pos"] == rep["stats"]["both_mapped"]
+    assert rep["stats"].get("same_cigar", 0) == rep["stats"]["both_mapped"]
+
+
+def test_extract_reads(workdir):
+    d, _ = workdir
+    assert extract_reads.main([str(d / "reads.fq"),
+                               str(d / "reads.npz")]) == 0
+    z = np.load(d / "reads.npz")
+    assert z["reads"].shape[0] == 48
+    assert (z["lens"] == 100).all()
