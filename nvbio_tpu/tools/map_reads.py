@@ -67,8 +67,11 @@ def main(argv=None):
     mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
                  use_pallas=False if args.cpu else None)
     stats = MappingStats()
-    writer = SamWriter(args.sam, meta["contig_names"], meta["contig_lens"],
-                       cmdline=" ".join(argv or sys.argv[1:]))
+    writer_cls = SamWriter
+    if args.sam.endswith(".bam"):
+        from ..io.bam import BamWriter as writer_cls
+    writer = writer_cls(args.sam, meta["contig_names"], meta["contig_lens"],
+                        cmdline=" ".join(argv or sys.argv[1:]))
 
     with stats.timer("total"):
         if args.U:
