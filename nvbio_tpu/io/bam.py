@@ -53,7 +53,11 @@ class BgzfWriter:
     def _flush_block(self, n=None):
         n = len(self._buf) if n is None else n
         if n:
-            self._f.write(bgzf_block(bytes(self._buf[:n])))
+            data = bytes(self._buf[:n])
+            from ..native import bgzf_compress_native
+
+            out = bgzf_compress_native(data)
+            self._f.write(out if out is not None else bgzf_block(data))
             del self._buf[:n]
 
     def close(self):

@@ -76,6 +76,24 @@ class FastqBatchReader:
         return names, seqs, quals
 
 
+def read_fastq_packed(path, max_len: int):
+    """Whole-file FASTQ -> padded batch matrices via the native C++
+    parser (ref: sequence_fastq.cpp host-speed path), falling back to
+    the Python parser.  Returns (names, reads (R, max_len) int8, lens,
+    quals)."""
+    raw = _open(path, "rb").read()
+    from ..native import fastq_parse_native
+
+    out = fastq_parse_native(raw, max_len)
+    if out is not None:
+        return out
+    from ..strings import pack_reads
+
+    names, seqs, quals = read_fastq(path)
+    reads, lens, qmat, _ = pack_reads(seqs, quals, max_len=max_len)
+    return names, reads, lens, qmat
+
+
 def write_fastq(path, records):
     """records: iterable of (name, symbols, quals)."""
     with _open(path, "wt") as f:

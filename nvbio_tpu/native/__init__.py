@@ -1,0 +1,100 @@
+"""Native host layer: lazy-built C++ fast paths with Python fallbacks.
+
+``lib()`` compiles ``fastio.cpp`` with g++ on first use (cached .so in
+the package dir) and returns the ctypes handle, or None when no
+toolchain is available — callers must fall back to the pure-Python
+implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_fastio.so")
+_SRC = os.path.join(_DIR, "fastio.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def lib():
+    """Return the ctypes library handle (building if needed) or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO,
+                     "-lz"],
+                    check=True, capture_output=True,
+                )
+            L = ctypes.CDLL(_SO)
+            L.fastq_parse.restype = ctypes.c_long
+            L.fastq_count.restype = ctypes.c_long
+            L.bgzf_compress.restype = ctypes.c_long
+            _lib = L
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def fastq_parse_native(buf: bytes, max_len: int):
+    """Parse a FASTQ byte buffer with the C++ parser.
+
+    Returns (names list, reads (R, max_len) int8, lens, quals) or None
+    if the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(buf)
+    cap = int(L.fastq_count(buf, ctypes.c_long(n)))
+    reads = np.full((cap, max_len), 7, dtype=np.int8)
+    quals = np.zeros((cap, max_len), dtype=np.uint8)
+    lens = np.zeros(cap, dtype=np.int32)
+    names_cap = n  # names cannot exceed the input size
+    names_blob = np.zeros(names_cap, dtype=np.uint8)
+    name_offs = np.zeros(cap + 1, dtype=np.int64)
+    r = L.fastq_parse(
+        buf, ctypes.c_long(n), ctypes.c_long(max_len),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        quals.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        names_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        ctypes.c_long(names_cap),
+        name_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ctypes.c_long(cap),
+    )
+    if r < 0:
+        raise ValueError("malformed FASTQ (native parser)")
+    blob = names_blob.tobytes()
+    names = [
+        blob[name_offs[i] : name_offs[i + 1] - 1].decode()
+        for i in range(r)
+    ]
+    return names, reads[:r], lens[:r], quals[:r]
+
+
+def bgzf_compress_native(data: bytes, level: int = 6):
+    """BGZF-compress with the C++ path; None if unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    out = np.zeros(len(data) + (len(data) >> 8) + 4096, dtype=np.uint8)
+    w = L.bgzf_compress(
+        data, ctypes.c_long(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(len(out)), ctypes.c_int(level),
+    )
+    if w < 0:
+        return None
+    return out[:w].tobytes()
