@@ -40,14 +40,24 @@ def build_fm_index(
     bwt_pad = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
     bwt_pad[:m] = bwt
 
-    # one-hot cumulative counts (the dummy 'A' at `primary` is counted
-    # here and subtracted at query time)
-    onehot = bwt_pad[:, None] == np.arange(4)[None, :]  # (m_pad, 4)
-    csum = np.zeros((n_blocks * BLOCK + 1, 4), dtype=np.int64)
-    np.cumsum(onehot, axis=0, out=csum[1:])
-    occ_abs = csum[0 : n_blocks * BLOCK : BLOCK].astype(np.int32)
-    word_starts = csum[0 : n_blocks * BLOCK : 16].reshape(n_blocks, WORDS, 4)
-    occ_sub = (word_starts - occ_abs[:, None, :]).astype(np.int32)
+    # cumulative counts at 16-symbol word granularity, built in slabs so
+    # hg-scale references stay within a few bytes/symbol of host RAM
+    # (the dummy 'A' at `primary` is counted here and subtracted at
+    # query time)
+    n_words16 = n_blocks * WORDS
+    word_counts = np.empty((n_words16, 4), dtype=np.int16)
+    w16 = bwt_pad.reshape(n_words16, 16)
+    SLAB = 1 << 22
+    for s in range(0, n_words16, SLAB):
+        sl = w16[s : s + SLAB]
+        for c in range(4):
+            word_counts[s : s + SLAB, c] = (sl == c).sum(axis=1)
+    word_cum = np.zeros((n_words16, 4), dtype=np.int64)  # exclusive
+    np.cumsum(word_counts[:-1], axis=0, out=word_cum[1:])
+    block_cum = word_cum[::WORDS]
+    occ_abs = block_cum.astype(np.int32)
+    word_starts = word_cum.reshape(n_blocks, WORDS, 4)
+    occ_sub = (word_starts - block_cum[:, None, :]).astype(np.int32)
 
     bwt_words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
 

@@ -21,6 +21,20 @@ _SRC = os.path.join(_DIR, "fastio.cpp")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_SAIS_SO = os.path.join(_DIR, "_sais.so")
+_SAIS_SRC = os.path.join(_DIR, "sais.cpp")
+_sais_lib = None
+_sais_tried = False
+
+
+def _build(src, so, *extra):
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so, *extra],
+            check=True, capture_output=True,
+        )
+    return ctypes.CDLL(so)
 
 
 def lib():
@@ -31,14 +45,7 @@ def lib():
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO,
-                     "-lz"],
-                    check=True, capture_output=True,
-                )
-            L = ctypes.CDLL(_SO)
+            L = _build(_SRC, _SO, "-lz")
             L.fastq_parse.restype = ctypes.c_long
             L.fastq_count.restype = ctypes.c_long
             L.bgzf_compress.restype = ctypes.c_long
@@ -46,6 +53,66 @@ def lib():
         except Exception:
             _lib = None
         return _lib
+
+
+def sais_lib():
+    """ctypes handle for the SA-IS library, or None."""
+    global _sais_lib, _sais_tried
+    with _lock:
+        if _sais_lib is not None or _sais_tried:
+            return _sais_lib
+        _sais_tried = True
+        try:
+            L = _build(_SAIS_SRC, _SAIS_SO)
+            L.sais_u8.restype = ctypes.c_long
+            L.sais_bwt.restype = ctypes.c_long
+            _sais_lib = L
+        except Exception:
+            _sais_lib = None
+        return _sais_lib
+
+
+def sais_native(text: np.ndarray):
+    """Suffix array of uint8 `text` via native SA-IS; None if no lib.
+
+    Sentinel-smallest convention, matching sufsort.suffix_array.
+    """
+    L = sais_lib()
+    if L is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(t)
+    sa = np.empty(n, dtype=np.int64)
+    r = L.sais_u8(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(n),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if r != 0:
+        raise RuntimeError("sais_u8 failed")
+    return sa
+
+
+def sais_bwt_native(text: np.ndarray, sa: np.ndarray):
+    """(bwt, primary) from text + suffix array via C++; None if no lib."""
+    L = sais_lib()
+    if L is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    s = np.ascontiguousarray(sa, dtype=np.int64)
+    n = len(t)
+    bwt = np.empty(n + 1, dtype=np.uint8)
+    primary = ctypes.c_longlong(-1)
+    r = L.sais_bwt(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(n),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.byref(primary),
+    )
+    if r != 0:
+        raise RuntimeError("sais_bwt failed")
+    return bwt, int(primary.value)
 
 
 def fastq_parse_native(buf: bytes, max_len: int):

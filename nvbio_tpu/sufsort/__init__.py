@@ -2,11 +2,20 @@
 
 Covers the reference's ``nvbio/sufsort/`` capability (ref: sufsort.h —
 ``cuda::suffix_sort``, ``cuda::bwt``, ``blockwise_suffix_sort``; the
-module behind nvBWT and arXiv:1410.0562).  The host path here is a
-vectorized NumPy prefix-doubling sort (the moral analog of the
-reference's ``PrefixDoublingSufSort``); a device (JAX ``lax.sort``)
-path and the blockwise difference-cover design for >RAM references are
-staged in ``blockwise.py``.
+module behind nvBWT and arXiv:1410.0562).  Paths:
+
+- ``suffix_array`` — host dispatch: native C++ SA-IS (linear time,
+  int32/int64, hg-scale) with a vectorized NumPy prefix-doubling
+  fallback (the moral analog of ``PrefixDoublingSufSort``).
+- ``suffix_array_device`` — on-device prefix doubling over
+  ``lax.sort`` for in-HBM references.
+- ``set_bwt_device`` — TPU set-BWT of read collections (the bwte.h /
+  arXiv:1410.0562 capability) as a bounded-depth LSD radix sort.
 """
 
-from .sa import suffix_array, bwt_from_sa  # noqa: F401
+from .sa import suffix_array, suffix_array_pd, bwt_from_sa  # noqa: F401
+from .device import (  # noqa: F401
+    suffix_array_device,
+    set_bwt_device,
+    set_bwt_oracle,
+)

@@ -1,12 +1,20 @@
-"""Suffix array construction (host, vectorized NumPy).
+"""Suffix array construction (host).
 
-Prefix-doubling (Manber-Myers) with radix-free argsort: O(n log^2 n)
-but fully vectorized — builds E. coli (4.6 Mbp) in seconds and chr20
-(64 Mbp) in minutes, which covers the reference's nvBWT use cases up to
-single-chromosome scale (ref: nvbio/sufsort/prefix_doubling_sufsort.h —
-``PrefixDoublingSufSort``).  hg38-scale blockwise construction
-(difference-cover, ref: sufsort/dcs.h) is future work tracked in
-SURVEY.md §7.3(4).
+Two host paths (ref: nvbio/sufsort/sufsort.h — cuda::suffix_sort /
+blockwise_suffix_sort; nvbio/sufsort/prefix_doubling_sufsort.h):
+
+- **SA-IS** (native C++, linear time, int32/int64): the workhorse for
+  any size up to hg38 fwd+rev concatenations.  The reference's
+  difference-cover blockwise GPU sort (sufsort/dcs.h,
+  compression_sort.h) depends on comparator-based segmented sorts with
+  no XLA equivalent; linear-time induced sorting on the host is both
+  simpler and faster for this offline tool.
+- **Prefix-doubling** (vectorized NumPy, O(n log^2 n)): pure-Python
+  fallback when no C++ toolchain exists.
+
+For in-HBM references there is also an on-device prefix-doubling sort
+(`sufsort.device.suffix_array_device`, `lax.sort`-based) and a TPU
+set-BWT for read collections (`sufsort.set_bwt`).
 
 Convention: suffixes compare with the end-of-string sentinel smaller
 than every symbol, i.e. the suffix array of T is positions sorted as in
@@ -20,7 +28,23 @@ import numpy as np
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
     """Suffix array of `text` (int symbols); shorter-suffix-first
-    (sentinel-smallest) comparison convention."""
+    (sentinel-smallest) comparison convention.
+
+    Dispatches to native SA-IS when the C++ toolchain is available,
+    falling back to vectorized prefix doubling.
+    """
+    t8 = np.asarray(text)
+    if t8.size and t8.max() < 256 and t8.min() >= 0:
+        from ..native import sais_native
+
+        sa = sais_native(t8.astype(np.uint8, copy=False))
+        if sa is not None:
+            return sa
+    return suffix_array_pd(t8)
+
+
+def suffix_array_pd(text: np.ndarray) -> np.ndarray:
+    """Prefix-doubling (Manber-Myers) suffix array, vectorized NumPy."""
     t = np.asarray(text, dtype=np.int64)
     n = len(t)
     if n == 0:

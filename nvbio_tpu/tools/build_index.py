@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--n-seed", type=int, default=7,
                    help="RNG seed for ambiguous-base substitution")
     p.add_argument("--pac", help="also write a BWA-layout .pac here")
+    p.add_argument("--algorithm", choices=["auto", "sais", "pd", "device"],
+                   default="auto",
+                   help="suffix sort: native C++ SA-IS (any size), NumPy "
+                   "prefix-doubling, or on-device lax.sort prefix-doubling")
     args = p.parse_args(argv)
 
     from ..io.fasta import read_fasta
@@ -37,7 +41,27 @@ def main(argv=None):
     print(f"[build_index] {len(records)} contigs, "
           f"{len(g['symbols'])} bp, {len(g['amb'])} ambiguity runs",
           file=sys.stderr)
-    fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample)
+    sa = None
+    if args.algorithm != "auto":
+        from ..sufsort import (suffix_array, suffix_array_pd,
+                               suffix_array_device)
+        t1 = time.time()
+        if args.algorithm == "sais":
+            from ..native import sais_native
+            sa = sais_native(g["symbols"].astype("uint8"))
+            if sa is None:
+                print("[build_index] no C++ toolchain; using prefix "
+                      "doubling", file=sys.stderr)
+                sa = suffix_array_pd(g["symbols"])
+        elif args.algorithm == "pd":
+            sa = suffix_array_pd(g["symbols"])
+        else:
+            sa = suffix_array_device(g["symbols"])
+        n = len(g["symbols"])
+        dt = time.time() - t1
+        print(f"[build_index] suffix sort ({args.algorithm}): {dt:.1f}s "
+              f"({n/max(dt,1e-9)/1e6:.1f} Mbp/s)", file=sys.stderr)
+    fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample, sa=sa)
     save_index(args.output, fm, ssa, g["symbols"].astype("int8"),
                g["names"], g["lens"], args.sa_sample)
     if args.pac:
