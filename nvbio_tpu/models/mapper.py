@@ -68,6 +68,82 @@ def _score_perfect(lens, params: MapperParams):
     return (lens * params.scheme.match).astype(jnp.int32)
 
 
+def extend_candidates(
+    fm: FMIndex,
+    genome,
+    all_reads,  # (2R, L) forward rows then reverse-complement rows
+    all_quals,
+    lens2,  # (2R,)
+    cand,  # (2R, M) candidate genome start positions, >= SENT invalid
+    *,
+    params: MapperParams,
+    use_pallas: bool = False,
+):
+    """Diagonal dedupe + banded Gotoh extension of located candidates.
+
+    The shared back half of every seeding strategy (uniform-seed,
+    SMEM, q-gram): dedupes candidate diagonals per read-strand via
+    double-sort (replacing the reference's persistent-thread scoring
+    queues, SURVEY.md §3.12), keeps the first ``max_candidates``, and
+    scores them with the banded kernel (ref: score_inl.h
+    ``score_best``).  Returns dict of (R, 2C) arrays.
+    """
+    R2, L = all_reads.shape
+    R = R2 // 2
+    C = params.max_candidates
+    W = params.band_w
+    LT = L + 2 * W
+    n = fm.n
+    SENT = n + 2 * L + 1
+    cand = jnp.minimum(cand, SENT)
+
+    # --- dedupe diagonals per read-strand, keep first C ---
+    cand = jnp.sort(cand, axis=1)
+    first = jnp.concatenate(
+        [
+            jnp.ones((R2, 1), bool),
+            cand[:, 1:] != cand[:, :-1],
+        ],
+        axis=1,
+    )
+    cand = jnp.sort(jnp.where(first, cand, SENT), axis=1)[:, :C]  # (2R, C)
+    cand_ok = cand < SENT
+
+    # --- extension scoring (banded Gotoh) ---
+    win_start = jnp.minimum(cand, jnp.maximum(n - 1, 0)).astype(jnp.int32)
+    gidx = win_start[:, :, None] + jnp.arange(LT, dtype=jnp.int32)
+    texts = genome[gidx.reshape(R2 * C, LT)]
+    tlens = jnp.clip(n - win_start, 0, LT).reshape(-1)
+    pats = jnp.repeat(all_reads, C, axis=0)
+    pquals = jnp.repeat(all_quals, C, axis=0)
+    plens = jnp.repeat(lens2, C)
+    score_fn = banded_score_pallas if use_pallas else banded_score_batch
+    res = score_fn(
+        pats, plens, texts, tlens, pquals,
+        scheme=params.scheme, atype=params.atype, band_w=W,
+    )
+    scores = jnp.where(
+        cand_ok.reshape(-1) & (plens > 0), res["score"], NEG_INF
+    ).reshape(R2, C)
+
+    to_r2c = lambda a: a.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
+    return {
+        "score": to_r2c(scores),
+        "win_start": to_r2c(win_start),
+        "t_end": to_r2c(res["t_end"].reshape(R2, C)),
+        "p_end": to_r2c(res["p_end"].reshape(R2, C)),
+    }
+
+
+def both_strands(reads, lens, quals):
+    """Stack forward + reverse-complement rows: (2R, L) arrays."""
+    rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
+    all_reads = jnp.concatenate([reads, rc_reads], axis=0)
+    all_quals = jnp.concatenate([quals, rc_quals], axis=0)
+    lens2 = jnp.concatenate([lens, lens])
+    return all_reads, all_quals, lens2
+
+
 def candidate_stage(
     fm: FMIndex,
     ssa: SSA,
@@ -89,15 +165,9 @@ def candidate_stage(
     R, L = reads.shape
     S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
     CAP = params.max_hits_per_seed
-    C = params.max_candidates
-    W = params.band_w
-    LT = L + 2 * W
     n = fm.n
 
-    rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
-    all_reads = jnp.concatenate([reads, rc_reads], axis=0)  # (2R, L)
-    all_quals = jnp.concatenate([quals, rc_quals], axis=0)
-    lens2 = jnp.concatenate([lens, lens])
+    all_reads, all_quals, lens2 = both_strands(reads, lens, quals)
 
     # --- seed & map (FM backward search) ---
     seeds, offsets, sval = extract_uniform_seeds(
@@ -121,42 +191,11 @@ def candidate_stage(
     cand = jnp.where(hit_ok, pos - offsets[None, :, None], SENT)
     cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
 
-    # --- dedupe diagonals per read-strand, keep first C ---
-    cand = jnp.sort(cand.reshape(2 * R, S * CAP), axis=1)
-    first = jnp.concatenate(
-        [
-            jnp.ones((2 * R, 1), bool),
-            cand[:, 1:] != cand[:, :-1],
-        ],
-        axis=1,
+    return extend_candidates(
+        fm, genome, all_reads, all_quals, lens2,
+        cand.reshape(2 * R, S * CAP),
+        params=params, use_pallas=use_pallas,
     )
-    cand = jnp.sort(jnp.where(first, cand, SENT), axis=1)[:, :C]  # (2R, C)
-    cand_ok = cand < SENT
-
-    # --- extension scoring (banded Gotoh) ---
-    win_start = jnp.minimum(cand, jnp.maximum(n - 1, 0)).astype(jnp.int32)
-    gidx = win_start[:, :, None] + jnp.arange(LT, dtype=jnp.int32)
-    texts = genome[gidx.reshape(2 * R * C, LT)]
-    tlens = jnp.clip(n - win_start, 0, LT).reshape(-1)
-    pats = jnp.repeat(all_reads, C, axis=0)
-    pquals = jnp.repeat(all_quals, C, axis=0)
-    plens = jnp.repeat(lens2, C)
-    score_fn = banded_score_pallas if use_pallas else banded_score_batch
-    res = score_fn(
-        pats, plens, texts, tlens, pquals,
-        scheme=params.scheme, atype=params.atype, band_w=W,
-    )
-    scores = jnp.where(
-        cand_ok.reshape(-1) & (plens > 0), res["score"], NEG_INF
-    ).reshape(2 * R, C)
-
-    to_r2c = lambda a: a.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
-    return {
-        "score": to_r2c(scores),
-        "win_start": to_r2c(win_start),
-        "t_end": to_r2c(res["t_end"].reshape(2 * R, C)),
-        "p_end": to_r2c(res["p_end"].reshape(2 * R, C)),
-    }
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
@@ -176,13 +215,18 @@ def map_batch(
     Returns dict of (R,)-shaped arrays: aligned, score, second,
     has_second, strand, win_start, t_end, p_end, mapq.
     """
-    R = reads.shape[0]
-    C = params.max_candidates
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
         params=params, use_pallas=use_pallas,
     )
-    # --- top-2 reduce across strands & candidates ---
+    return top2_finish(cands, lens, params)
+
+
+def top2_finish(cands, lens, params: MapperParams):
+    """Top-2 reduce across strands & candidates + MAPQ (ref:
+    reduce_inl.h ``score_reduce`` + mapq.h)."""
+    R = lens.shape[0]
+    C = params.max_candidates
     sc = cands["score"]
     t_end = cands["t_end"]
     p_end = cands["p_end"]
@@ -312,15 +356,19 @@ class Mapper:
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.int32))
-        fwd = map_batch(
-            self.fm, self.ssa, self.genome, jr, jl, jq,
-            params=self.params, use_pallas=self.use_pallas,
-        )
+        fwd = self._forward(jr, jl, jq)
         res, dirs = traceback_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
         )
         return self._finish(seqs, lens, quals, fwd, res, dirs)[:R]
+
+    def _forward(self, jr, jl, jq):
+        """The jitted forward mapping step; subclasses swap seeding."""
+        return map_batch(
+            self.fm, self.ssa, self.genome, jr, jl, jq,
+            params=self.params, use_pallas=self.use_pallas,
+        )
 
     def _finish(self, seqs, lens, quals, fwd, res, dirs):
         """Host CIGAR/MD walk for aligned reads."""

@@ -31,6 +31,9 @@ class MapperParams:
     # end-to-end default --score-min L,-0.6,-0.6)
     score_min_a: float = -0.6
     score_min_b: float = -0.6
+    # MEM seeding (nvMem pipeline; BWA-MEM-style defaults)
+    min_mem_len: int = 19
+    max_smems: int = 8
     # index
     sa_sample: int = 32
     # paired-end (bowtie2 --minins/--maxins, FR orientation default)

@@ -1,0 +1,85 @@
+"""MEM-seeded mapper CLI (nvMem / examples-mem equivalent).
+
+Ref parity: examples/mem/mem.cu — FM-index MEM seeding + extension on
+single-end reads.  Option names follow BWA-MEM where they exist
+(-k min seed length).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="mem_map", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("-x", "--index", required=True, help="index .npz")
+    p.add_argument("-U", required=True, help="reads FASTQ(.gz)")
+    p.add_argument("-S", "--sam", required=True, help="output SAM(.gz|.bam)")
+    p.add_argument("-k", "--min-mem-len", type=int, default=19)
+    p.add_argument("--max-smems", type=int, default=8)
+    p.add_argument("--max-read-len", type=int, default=320)
+    p.add_argument("--local", action="store_true")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--stats", help="write stats JSON here")
+    p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from ..io.index_file import load_index
+    from ..io.fastq import FastqBatchReader
+    from ..io.sam import SamWriter
+    from ..models import MapperParams, MemMapper
+    from ..strings import pack_reads
+    from ..utils.stats import MappingStats
+
+    fm, ssa, genome, meta = load_index(args.index)
+    params = MapperParams(
+        min_mem_len=args.min_mem_len,
+        max_smems=args.max_smems,
+        local=args.local,
+        batch_size=args.batch,
+        sa_sample=meta["sa_sample"],
+        max_read_len=args.max_read_len,
+    )
+    contigs = {
+        "names": meta["contig_names"],
+        "starts": np.concatenate(
+            [[0], np.cumsum(meta["contig_lens"][:-1])]
+        ).astype(np.int64),
+        "lens": np.array(meta["contig_lens"], dtype=np.int64),
+    }
+    mapper = MemMapper(fm, ssa, genome, params=params, contigs=contigs,
+                       use_pallas=False if args.cpu else None)
+    stats = MappingStats()
+    writer_cls = SamWriter
+    if args.sam.endswith(".bam"):
+        from ..io.bam import BamWriter as writer_cls
+    writer = writer_cls(args.sam, meta["contig_names"], meta["contig_lens"],
+                        cmdline=" ".join(argv or sys.argv[1:]),
+                        program="tpu_mem")
+
+    with stats.timer("total"):
+        for names, seqs, quals in FastqBatchReader(args.U, args.batch):
+            reads, lens, qmat, _ = pack_reads(
+                seqs, quals, max_len=args.max_read_len)
+            with stats.timer("compute"):
+                results = mapper.map_reads(reads, lens, qmat)
+            stats.observe(results)
+            with stats.timer("output"):
+                for rec in mapper.to_sam_records(
+                        names, reads, lens, qmat, results):
+                    writer.write(rec)
+    writer.close()
+    report = stats.report(file=sys.stderr)
+    if args.stats:
+        with open(args.stats, "w") as f:
+            f.write(report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
