@@ -28,4 +28,5 @@ from .types import (  # noqa: F401
 )
 from .oracle import align_oracle  # noqa: F401
 from .batched import banded_score_batch, banded_directions_batch  # noqa: F401
+from .myers import myers_edit_distance_batch  # noqa: F401
 from .cigar import traceback_banded, cigar_to_string, make_md_string  # noqa: F401

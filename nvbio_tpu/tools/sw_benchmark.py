@@ -68,6 +68,22 @@ def main(argv=None):
                          "ms": round(dt * 1e3, 2)})
             print(f"{cname:20s} {ename:8s} {gcups:8.2f} GCUPS "
                   f"({dt*1e3:.1f} ms)", file=sys.stderr)
+
+    # Myers bit-vector edit distance (full-matrix equivalent work)
+    from ..alignment.myers import myers_edit_distance_batch
+
+    fm_ = jax.jit(lambda p, pl, t, tl: myers_edit_distance_batch(
+        p, pl, t, tl, atype=AlignmentType.SEMI_GLOBAL)[0])
+    np.asarray(fm_(arr[0], arr[1], arr[2], arr[3]))
+    t0 = time.time()
+    for _ in range(args.iters):
+        np.asarray(fm_(arr[0], arr[1], arr[2], arr[3]))
+    dt = (time.time() - t0) / args.iters
+    gcups = NB * LP * LT / dt / 1e9  # full-matrix cells
+    rows.append({"aligner": "myers_edit_distance", "engine": "bitvector",
+                 "gcups": round(gcups, 2), "ms": round(dt * 1e3, 2)})
+    print(f"{'myers_edit_distance':20s} {'bitvec':8s} {gcups:8.2f} GCUPS "
+          f"({dt*1e3:.1f} ms, full-matrix cells)", file=sys.stderr)
     print(json.dumps(rows))
     return 0
 
