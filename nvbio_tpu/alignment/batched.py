@@ -32,8 +32,18 @@ DIAG, FROM_E, FROM_F, ORIGIN = 0, 1, 2, 3
 PAD_SYMBOL = 7  # never matches; outside-text cells are masked anyway
 
 
-def _subst_scores(p, q, tsl, scheme: GotohScheme):
-    """Vectorized substitution scores: p,q are (B,), tsl is (B, BAND)."""
+def _subst_scores(p, q, tsl, scheme):
+    """Vectorized substitution scores: p,q are (B,), tsl is (B, BAND).
+
+    Accepts ``GotohScheme`` (quality-aware match/mismatch) or a
+    ``MatrixScheme`` (substitution-matrix gather, e.g. BLOSUM62 for
+    protein SW — ref: examples/proteinsw)."""
+    if hasattr(scheme, "matrix"):
+        mat = jnp.asarray(scheme.matrix_np)
+        K = mat.shape[0]
+        p_ = jnp.clip(p[:, None], 0, K - 1)
+        t_ = jnp.clip(tsl, 0, K - 1)
+        return mat[p_, t_].astype(jnp.int32)
     qc = jnp.minimum(q.astype(jnp.int32), 40)
     mm = scheme.mismatch_min + (
         (scheme.mismatch_max - scheme.mismatch_min) * qc

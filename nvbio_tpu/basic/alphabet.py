@@ -61,3 +61,35 @@ def complement(symbols: np.ndarray) -> np.ndarray:
 def reverse_complement(symbols: np.ndarray) -> np.ndarray:
     """Reverse-complement a symbol array."""
     return _COMPLEMENT[symbols][::-1]
+
+
+# ---------------------------------------------------------------------------
+# Protein alphabet (ref: nvbio/strings/alphabet.h — ``PROTEIN``; 20 amino
+# acids in BLOSUM row order, plus X = unknown and '*' = stop).
+# ---------------------------------------------------------------------------
+
+PROTEIN_CHARS = "ARNDCQEGHILKMFPSTWYVX*"
+PROTEIN_SYMBOLS = len(PROTEIN_CHARS)  # 22
+PROTEIN_X = PROTEIN_CHARS.index("X")
+
+_CHAR_TO_PROTEIN = np.full(256, PROTEIN_X, dtype=np.uint8)
+for _i, _ch in enumerate(PROTEIN_CHARS):
+    _CHAR_TO_PROTEIN[ord(_ch)] = _i
+    _CHAR_TO_PROTEIN[ord(_ch.lower())] = _i
+# common IUPAC ambiguity codes fold to near equivalents
+_CHAR_TO_PROTEIN[ord("B")] = PROTEIN_CHARS.index("N")
+_CHAR_TO_PROTEIN[ord("Z")] = PROTEIN_CHARS.index("Q")
+_CHAR_TO_PROTEIN[ord("U")] = PROTEIN_CHARS.index("C")  # selenocysteine
+
+_PROTEIN_TO_CHAR = np.frombuffer(PROTEIN_CHARS.encode(), dtype=np.uint8).copy()
+
+
+def encode_protein(seq: str | bytes) -> np.ndarray:
+    """Encode a protein string to int8 symbols (unknown -> X)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    return _CHAR_TO_PROTEIN[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def decode_protein(symbols: np.ndarray) -> str:
+    return _PROTEIN_TO_CHAR[np.asarray(symbols, dtype=np.uint8)].tobytes().decode()

@@ -43,6 +43,29 @@ def read_fasta(path) -> list[tuple[str, np.ndarray]]:
     return out
 
 
+def read_fasta_text(path) -> list[tuple[str, str]]:
+    """Parse a FASTA file -> [(name, raw sequence string)] — for
+    non-DNA alphabets (protein FASTA, ref: proteinsw example input)."""
+    out = []
+    name = None
+    chunks: list[str] = []
+    with _open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    out.append((name, "".join(chunks)))
+                name = line[1:].split()[0]
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        out.append((name, "".join(chunks)))
+    return out
+
+
 def write_fasta(path, seqs, width: int = 70):
     """seqs: iterable of (name, symbol array)."""
     with _open(path, "wt") as f:
