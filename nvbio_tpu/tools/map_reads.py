@@ -32,6 +32,10 @@ def main(argv=None):
                    help="reads per device batch")
     p.add_argument("--stats", help="write stats JSON here")
     p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="total input shards (multi-host: one per host)")
+    p.add_argument("--shard-id", type=int, default=0,
+                   help="this process's shard index")
     args = p.parse_args(argv)
     if not args.U and not (args.m1 and args.m2):
         p.error("need -U or -1/-2")
@@ -73,9 +77,23 @@ def main(argv=None):
     writer = writer_cls(args.sam, meta["contig_names"], meta["contig_lens"],
                         cmdline=" ".join(argv or sys.argv[1:]))
 
+    def batches(path):
+        """Input batches, optionally restricted to this host's shard
+        (per-host byte-range input, SURVEY.md §5.8)."""
+        if args.num_shards <= 1:
+            yield from FastqBatchReader(path, args.batch)
+            return
+        from ..parallel.distributed import shard_fastq, read_fastq_range
+
+        start, end = shard_fastq(path, args.num_shards)[args.shard_id]
+        names, seqs, quals = read_fastq_range(path, start, end)
+        for i in range(0, len(names), args.batch):
+            sl = slice(i, i + args.batch)
+            yield names[sl], seqs[sl], quals[sl]
+
     with stats.timer("total"):
         if args.U:
-            for names, seqs, quals in FastqBatchReader(args.U, args.batch):
+            for names, seqs, quals in batches(args.U):
                 reads, lens, qmat, _ = pack_reads(
                     seqs, quals, max_len=args.max_read_len)
                 with stats.timer("compute"):
