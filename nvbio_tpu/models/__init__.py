@@ -9,3 +9,4 @@ mapq), restructured as fixed-shape jitted JAX stages per SURVEY.md §7.
 from .params import MapperParams  # noqa: F401
 from .mapper import Mapper, map_batch  # noqa: F401
 from .mem_mapper import MemMapper, mem_map_batch  # noqa: F401
+from .qgram_mapper import QGramMapper, qgram_map_batch  # noqa: F401

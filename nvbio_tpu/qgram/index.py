@@ -22,12 +22,17 @@ class QGramIndex(NamedTuple):
 
 
 def qgram_keys(text: np.ndarray, q: int) -> np.ndarray:
-    """Rolling 2-bit keys of every length-q window (host, vectorized)."""
-    text = np.asarray(text, dtype=np.int64) & 3
+    """Rolling 2-bit keys of every length-q window (host, vectorized).
+
+    Keys are int32 (q <= 15 at 2 bits/symbol) so device lookups work
+    without jax_enable_x64."""
+    if q > 15:
+        raise ValueError("q-gram keys are int32: q <= 15")
+    text = np.asarray(text, dtype=np.int32) & 3
     n = len(text) - q + 1
     if n <= 0:
-        return np.zeros(0, dtype=np.int64)
-    keys = np.zeros(n, dtype=np.int64)
+        return np.zeros(0, dtype=np.int32)
+    keys = np.zeros(n, dtype=np.int32)
     for j in range(q):  # q is small (<= 16); windows are vectorized
         keys = (keys << 2) | text[j : j + n]
     return keys

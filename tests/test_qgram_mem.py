@@ -121,3 +121,28 @@ def test_hamming_and_full():
         ref = align_oracle(pats[r], texts[r], GotohScheme(),
                            AlignmentType.GLOBAL)
         assert int(res["score"][r]) == ref.score
+
+
+def test_qgram_mapper_end_to_end():
+    from nvbio_tpu.fmindex import build_fm_index
+    from nvbio_tpu.models import MapperParams
+    from nvbio_tpu.models.qgram_mapper import QGramMapper
+    from nvbio_tpu.strings import pack_reads
+    from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(60_000, seed=41)
+    params = MapperParams(batch_size=48, sa_sample=16, max_candidates=8)
+    fm, ssa = build_fm_index(genome, sa_sample=params.sa_sample)
+    m = QGramMapper(fm, ssa, genome, q=14, stride=7, params=params,
+                    use_pallas=False)
+    sim = simulate_reads(genome, 48, 100, seed=42, error_rate=0.02)
+    reads, lens, quals, _ = pack_reads(
+        list(sim["seqs"].astype(np.uint8)), list(sim["quals"])
+    )
+    results = m.map_reads(reads, lens, quals.astype(np.int32))
+    n_ok = sum(
+        1 for i, r in enumerate(results)
+        if r.aligned and abs(r.pos - sim["true_pos"][i]) <= 2
+        and r.strand == sim["true_strand"][i]
+    )
+    assert n_ok >= 44
