@@ -190,10 +190,37 @@ def candidate_stage(
     SENT = n + 2 * L + 1
     cand = jnp.where(hit_ok, pos - offsets[None, :, None], SENT)
     cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
+    cand = cand.reshape(2 * R, S * CAP)
+
+    if params.seed_mismatches >= 1:
+        # 1-mismatch seeding (bowtie2 -N 1; ref: mapping_inl.h
+        # map_approx): every one-substitution variant's SA range,
+        # expanded to a few hits each, joins the candidate pool.
+        from ..fmindex.backtrack import hamming_backtrack_1
+
+        Ls = params.seed_len
+        CAPV = params.max_hits_per_mm
+        bt = hamming_backtrack_1(fm, flat_seeds)
+        vlo = bt["lo"].reshape(2 * R, S, Ls * 4)
+        vsz = jnp.where(bt["valid"], bt["hi"] - bt["lo"], 0).reshape(
+            2 * R, S, Ls * 4)
+        use_v = jnp.where(vsz > params.max_range, 0,
+                          jnp.minimum(vsz, CAPV))
+        tv = jnp.arange(CAPV, dtype=jnp.int32)
+        rows_v = vlo[..., None] + tv  # (2R, S, Ls*4, CAPV)
+        ok_v = tv < use_v[..., None]
+        pos_v = locate(
+            fm, ssa, jnp.clip(rows_v, 0, n).reshape(-1),
+            k_sample=params.sa_sample,
+        ).reshape(rows_v.shape)
+        cand_v = jnp.where(ok_v, pos_v - offsets[None, :, None, None],
+                           SENT)
+        cand_v = jnp.where(cand_v < 0, 0, cand_v)
+        cand = jnp.concatenate(
+            [cand, cand_v.reshape(2 * R, S * Ls * 4 * CAPV)], axis=1)
 
     return extend_candidates(
-        fm, genome, all_reads, all_quals, lens2,
-        cand.reshape(2 * R, S * CAP),
+        fm, genome, all_reads, all_quals, lens2, cand,
         params=params, use_pallas=use_pallas,
     )
 

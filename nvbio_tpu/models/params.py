@@ -19,6 +19,10 @@ class MapperParams:
     # seeding (bowtie2 -L / -i equivalents; fixed interval for static shapes)
     seed_len: int = 22
     seed_interval: int = 11
+    # approximate seeding (bowtie2 -N: 0 or 1 mismatches in the seed,
+    # ref: mapping_inl.h map_approx over fmindex/backtrack.h)
+    seed_mismatches: int = 0
+    max_hits_per_mm: int = 1  # SA rows expanded per 1-mm variant
     # hit selection
     max_hits_per_seed: int = 8  # SA rows expanded per seed
     max_range: int = 64  # seeds with more hits are skipped as repetitive

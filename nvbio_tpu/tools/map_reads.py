@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("-S", "--sam", required=True, help="output SAM(.gz)")
     p.add_argument("-L", "--seed-len", type=int, default=22)
     p.add_argument("-i", "--seed-interval", type=int, default=11)
+    p.add_argument("-N", dest="seed_mm", type=int, default=0, choices=[0, 1],
+                   help="mismatches allowed in seed (bowtie2 -N)")
     p.add_argument("--max-read-len", type=int, default=320)
     p.add_argument("--minins", type=int, default=0)
     p.add_argument("--maxins", type=int, default=500)
@@ -53,6 +55,7 @@ def main(argv=None):
     params = MapperParams(
         seed_len=args.seed_len,
         seed_interval=args.seed_interval,
+        seed_mismatches=args.seed_mm,
         local=args.local,
         minins=args.minins,
         maxins=args.maxins,

@@ -135,3 +135,46 @@ def test_sam_records(mapper):
             assert cols[2] == "ref"
             assert int(cols[3]) >= 1
             assert "M" in cols[5]
+
+
+def test_one_mismatch_seeding_rescues_unseedable_reads():
+    """Reads where EVERY seed contains exactly one substitution: exact
+    (-N 0) seeding finds nothing, -N 1 maps them (ref: mapping_inl.h
+    map_approx / fmindex/backtrack.h)."""
+    from nvbio_tpu.fmindex import build_fm_index
+    from nvbio_tpu.models import MapperParams
+    from nvbio_tpu.models.mapper import Mapper
+    from nvbio_tpu.strings import pack_reads
+    from nvbio_tpu.utils.simulate import random_genome
+
+    genome = random_genome(50_000, seed=77)
+    rng = np.random.default_rng(78)
+    R, L, SL = 24, 32, 16
+    seqs, starts = [], []
+    for _ in range(R):
+        s = int(rng.integers(0, len(genome) - L))
+        frag = genome[s : s + L].copy()
+        for p in (8, 24):  # one substitution inside each 16bp seed
+            frag[p] = (frag[p] + 1 + rng.integers(0, 3)) % 4
+        seqs.append(frag)
+        starts.append(s)
+    reads, lens, quals, _ = pack_reads(
+        seqs, [np.full(L, 35, np.uint8)] * R
+    )
+    quals = quals.astype(np.int32)
+
+    common = dict(batch_size=R, sa_sample=16, max_candidates=8,
+                  seed_len=SL, seed_interval=SL)
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    m0 = Mapper(fm, ssa, genome, params=MapperParams(**common),
+                use_pallas=False)
+    m1 = Mapper(fm, ssa, genome,
+                params=MapperParams(seed_mismatches=1, **common),
+                use_pallas=False)
+    r0 = m0.map_reads(reads, lens, quals)
+    r1 = m1.map_reads(reads, lens, quals)
+    assert sum(r.aligned for r in r0) == 0
+    ok = sum(
+        1 for i, r in enumerate(r1) if r.aligned and r.pos == starts[i]
+    )
+    assert ok >= R - 2
