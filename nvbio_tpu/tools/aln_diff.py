@@ -75,6 +75,8 @@ def main(argv=None):
     p.add_argument("sam_b")
     p.add_argument("--pos-tolerance", type=int, default=0)
     p.add_argument("--json", help="write JSON report here")
+    p.add_argument("--html", help="write HTML report here (ref: the "
+                   "reference's aln-diff HTML output over basic/html.h)")
     args = p.parse_args(argv)
     a = _read_sam(args.sam_a)
     b = _read_sam(args.sam_b)
@@ -84,6 +86,21 @@ def main(argv=None):
     if args.json:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=2)
+    if args.html:
+        from ..utils.html import page, table, bar_chart
+
+        doc = page(
+            f"aln-diff: {args.sam_a} vs {args.sam_b}",
+            [
+                ("Comparison", table(sorted(stats.items()),
+                                     header=("category", "count"))),
+                ("MAPQ delta histogram (A - B)", bar_chart(
+                    [(str(k), v) for k, v in mq.items()]
+                )),
+            ],
+        )
+        with open(args.html, "w") as f:
+            f.write(doc)
     # exit 0 if positionally identical, 1 otherwise (CI-friendly)
     return 0 if stats.get("same_pos", 0) == stats.get("both_mapped", -1) \
         else 1

@@ -33,6 +33,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4096,
                    help="reads per device batch")
     p.add_argument("--stats", help="write stats JSON here")
+    p.add_argument("--html", help="write HTML run report here")
     p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
     p.add_argument("--num-shards", type=int, default=1,
                    help="total input shards (multi-host: one per host)")
@@ -128,6 +129,9 @@ def main(argv=None):
     if args.stats:
         with open(args.stats, "w") as f:
             f.write(report)
+    if args.html:
+        with open(args.html, "w") as f:
+            f.write(stats.html(title=f"map_reads: {args.U or args.m1}"))
     return 0
 
 

@@ -84,3 +84,25 @@ class MappingStats:
         if file:
             print(s, file=file)
         return s
+
+    def html(self, title="mapping report") -> str:
+        """Standalone HTML run report (ref: stats.cpp HTML writer over
+        basic/html.h: summary, MAPQ histogram, per-stage timing)."""
+        from .html import page, table, bar_chart
+
+        sm = self.summary()
+        summary_rows = [
+            (k, sm[k]) for k in ("reads", "aligned", "aligned_pct",
+                                 "unique", "proper_pairs", "discordant",
+                                 "reads_per_sec")
+        ]
+        sections = [
+            ("Summary", table(summary_rows, header=("metric", "value"))),
+            ("MAPQ histogram (aligned reads)", bar_chart(
+                [(f"Q{k}-{k+9}", v) for k, v in sm["mapq_hist"].items()]
+            )),
+            ("Stage timing", bar_chart(
+                list(sm["stage_seconds"].items()), unit=" s"
+            )),
+        ]
+        return page(title, sections)

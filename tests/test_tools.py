@@ -88,3 +88,29 @@ def test_extract_reads(workdir):
     z = np.load(d / "reads.npz")
     assert z["reads"].shape[0] == 48
     assert (z["lens"] == 100).all()
+
+
+def test_stats_html_report():
+    from nvbio_tpu.utils.stats import MappingStats
+    from nvbio_tpu.models.mapper import MapResult
+
+    st = MappingStats()
+    with st.timer("total"):
+        st.observe([MapResult(aligned=True, mapq=42),
+                    MapResult(aligned=False)])
+    doc = st.html(title="t")
+    assert doc.startswith("<!DOCTYPE html>")
+    assert "MAPQ histogram" in doc and "Q40-49" in doc
+    assert "Stage timing" in doc
+
+
+def test_aln_diff_html(tmp_path):
+    from nvbio_tpu.tools.aln_diff import main as diff_main
+
+    sam = "@HD\tVN:1.6\nr1\t0\tc\t10\t40\t5M\t*\t0\t0\tACGTA\tIIIII\n"
+    a = tmp_path / "a.sam"; a.write_text(sam)
+    b = tmp_path / "b.sam"; b.write_text(sam)
+    h = tmp_path / "d.html"
+    assert diff_main([str(a), str(b), "--html", str(h)]) == 0
+    doc = h.read_text()
+    assert "Comparison" in doc and "same_pos" in doc
