@@ -46,6 +46,7 @@ def main(argv=None):
     import numpy as np
     from ..io.index_file import load_index
     from ..io.fastq import FastqBatchReader
+    from ..io.sequence import ReadBatchIterator
     from ..io.sam import SamWriter
     from ..models import MapperParams, Mapper
     from ..models.paired import PairedMapper
@@ -85,7 +86,7 @@ def main(argv=None):
         """Input batches, optionally restricted to this host's shard
         (per-host byte-range input, SURVEY.md §5.8)."""
         if args.num_shards <= 1:
-            yield from FastqBatchReader(path, args.batch)
+            yield from ReadBatchIterator(path, args.batch)
             return
         from ..parallel.distributed import shard_fastq, read_fastq_range
 

@@ -30,7 +30,7 @@ def main(argv=None):
 
     import numpy as np
     from ..io.index_file import load_index
-    from ..io.fastq import FastqBatchReader
+    from ..io.sequence import ReadBatchIterator
     from ..io.sam import SamWriter
     from ..models import MapperParams, MemMapper
     from ..strings import pack_reads
@@ -63,7 +63,7 @@ def main(argv=None):
                         program="tpu_mem")
 
     with stats.timer("total"):
-        for names, seqs, quals in FastqBatchReader(args.U, args.batch):
+        for names, seqs, quals in ReadBatchIterator(args.U, args.batch):
             reads, lens, qmat, _ = pack_reads(
                 seqs, quals, max_len=args.max_read_len)
             with stats.timer("compute"):

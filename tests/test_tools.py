@@ -114,3 +114,70 @@ def test_aln_diff_html(tmp_path):
     assert diff_main([str(a), str(b), "--html", str(h)]) == 0
     doc = h.read_text()
     assert "Comparison" in doc and "same_pos" in doc
+
+
+def test_sam_bam_realignment_input_roundtrip(tmp_path):
+    """Map FASTQ -> SAM/BAM, then re-map using the SAM and the BAM as
+    read input (sequence_sam/bam.cpp parity): positions must match the
+    FASTQ run, including reverse-strand reads whose SEQ was stored
+    reverse-complemented."""
+    import numpy as np
+    from nvbio_tpu.io.fasta import write_fasta
+    from nvbio_tpu.io.fastq import write_fastq
+    from nvbio_tpu.tools.build_index import main as build_main
+    from nvbio_tpu.tools.map_reads import main as map_main
+    from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(50_000, seed=91)
+    sim = simulate_reads(genome, 32, 80, seed=92)
+    fa = tmp_path / "g.fa"
+    write_fasta(str(fa), [("chr1", genome)])
+    fq = tmp_path / "r.fq"
+    write_fastq(str(fq), [
+        (f"r{i}", sim["seqs"][i].astype(np.uint8), sim["quals"][i])
+        for i in range(32)
+    ])
+    idx = tmp_path / "g.npz"
+    build_main([str(fa), str(idx)])
+
+    s1 = tmp_path / "a.sam"
+    map_main(["-x", str(idx), "-U", str(fq), "-S", str(s1), "--cpu",
+              "--batch", "32"])
+    b1 = tmp_path / "a.bam"
+    map_main(["-x", str(idx), "-U", str(fq), "-S", str(b1), "--cpu",
+              "--batch", "32"])
+
+    s2 = tmp_path / "from_sam.sam"
+    map_main(["-x", str(idx), "-U", str(s1), "-S", str(s2), "--cpu",
+              "--batch", "32"])
+    s3 = tmp_path / "from_bam.sam"
+    map_main(["-x", str(idx), "-U", str(b1), "-S", str(s3), "--cpu",
+              "--batch", "32"])
+
+    def positions(p):
+        return sorted(
+            (l.split("\t")[0], l.split("\t")[3])
+            for l in open(p) if not l.startswith("@")
+        )
+
+    assert positions(s2) == positions(s1)
+    assert positions(s3) == positions(s1)
+
+
+def test_txt_and_fasta_read_input(tmp_path):
+    import numpy as np
+    from nvbio_tpu.io.sequence import ReadBatchIterator
+    from nvbio_tpu.basic.alphabet import decode_dna
+
+    txt = tmp_path / "reads.txt"
+    txt.write_text("ACGTACGT\nTTTTCCCC\n")
+    batches = list(ReadBatchIterator(str(txt), 10))
+    (names, seqs, quals), = batches
+    assert names == ["txt_0", "txt_1"]
+    assert decode_dna(seqs[0]) == "ACGTACGT"
+
+    fa = tmp_path / "reads.fa"
+    fa.write_text(">a\nACGT\n>b\nGGGG\n")
+    (names, seqs, _), = list(ReadBatchIterator(str(fa), 10))
+    assert names == ["a", "b"]
+    assert decode_dna(seqs[1]) == "GGGG"
