@@ -491,3 +491,133 @@ class Mapper:
                 )
             )
         return recs
+
+    def map_reads_all(self, seqs, lens, quals, max_alns: int = 8):
+        """All-mappings mode (ref: nvBowtie --all): per read, up to
+        max_alns distinct alignments above score-min, score-descending,
+        each traced back to a full MapResult."""
+        R = seqs.shape[0]
+        B = self.params.batch_size
+        out: list[list[MapResult]] = []
+        for s0 in range(0, R, B):
+            out.extend(self._map_chunk_all(
+                seqs[s0 : s0 + B], lens[s0 : s0 + B], quals[s0 : s0 + B],
+                max_alns,
+            ))
+        return out
+
+    def _map_chunk_all(self, seqs, lens, quals, k):
+        R = seqs.shape[0]
+        B = self.params.batch_size
+        if R < B:
+            pad = B - R
+            seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
+                                                 seqs.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
+                                                    quals.dtype)])
+        jr = jnp.asarray(seqs)
+        jl = jnp.asarray(lens.astype(np.int32))
+        jq = jnp.asarray(quals.astype(np.int32))
+        fwd = map_all_batch(
+            self.fm, self.ssa, self.genome, jr, jl, jq,
+            params=self.params, use_pallas=self.use_pallas, k=k,
+        )
+        K = fwd["score"].shape[1]
+        # traceback every slot: flatten (B, K) -> (B*K) pseudo-batch
+        rep = lambda a: jnp.repeat(a, K, axis=0)
+        res, dirs = traceback_batch(
+            self.genome, jnp.asarray(self.n, jnp.int32),
+            rep(jr), jnp.repeat(jl, K), rep(jq),
+            fwd["win_start"].reshape(-1), fwd["strand"].reshape(-1),
+            params=self.params,
+        )
+        flat_fwd = {
+            "aligned": np.asarray(fwd["valid"]).reshape(-1),
+            "strand": np.asarray(fwd["strand"]).reshape(-1),
+            "win_start": np.asarray(fwd["win_start"]).reshape(-1),
+            "score": np.asarray(fwd["score"]).reshape(-1),
+            "second": np.zeros(B * K, np.int32),
+            "has_second": np.zeros(B * K, bool),
+            "mapq": np.zeros(B * K, np.int32),
+        }
+        results = self._finish(
+            np.repeat(seqs, K, axis=0), np.repeat(lens, K),
+            np.repeat(quals, K, axis=0), flat_fwd, res, dirs,
+        )
+        grouped = []
+        for r in range(min(R, B)):
+            alns = [results[r * K + j] for j in range(K)
+                    if results[r * K + j].aligned]
+            # drop duplicate positions produced by overlapping windows
+            seen, uniq = set(), []
+            for a in alns:
+                if (a.pos, a.strand) not in seen:
+                    seen.add((a.pos, a.strand))
+                    uniq.append(a)
+            grouped.append(uniq)
+        return grouped
+
+    def to_sam_records_all(self, names, seqs, lens, quals,
+                           all_results: list[list[MapResult]]):
+        """Primary record per read + FLAG 0x100 secondary records."""
+        from ..io.sam import FLAG_SECONDARY
+
+        recs = []
+        for i, alns in enumerate(all_results):
+            primary = self.to_sam_records(
+                [names[i]], seqs[i : i + 1], lens[i : i + 1],
+                quals[i : i + 1],
+                [alns[0] if alns else MapResult(aligned=False)],
+            )
+            recs.extend(primary)
+            for a in alns[1:]:
+                (sec,) = self.to_sam_records(
+                    [names[i]], seqs[i : i + 1], lens[i : i + 1],
+                    quals[i : i + 1], [a],
+                )
+                sec.flag |= FLAG_SECONDARY
+                recs.append(sec)
+        return recs
+
+
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
+def map_all_batch(
+    fm: FMIndex,
+    ssa: SSA,
+    genome,
+    reads,
+    lens,
+    quals,
+    *,
+    params: MapperParams,
+    use_pallas: bool = False,
+    k: int = 8,
+):
+    """All-mappings forward step (ref: nvBowtie --all, all_inl.h).
+
+    Returns the top-k distinct candidate alignments per read (score-
+    descending), each with score/strand/win_start/t_end/p_end and a
+    validity mask (score >= score-min).  "All" is bounded by the
+    candidate capacity 2*max_candidates, the fixed-shape analog of the
+    reference's effort limits (SURVEY.md §7.3(3)).
+    """
+    C = params.max_candidates
+    k = min(k, 2 * C)
+    cands = candidate_stage(
+        fm, ssa, genome, reads, lens, quals,
+        params=params, use_pallas=use_pallas,
+    )
+    sc = cands["score"]
+    order = jnp.argsort(-sc, axis=1)[:, :k]  # (R, k) score-descending
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    scores = take(sc)
+    smin = _score_min(lens, params)
+    return {
+        "score": scores,
+        "valid": (scores >= smin[:, None]) & (lens[:, None] > 0),
+        "strand": (order // C).astype(jnp.int32),
+        "win_start": take(cands["win_start"]),
+        "t_end": take(cands["t_end"]),
+        "p_end": take(cands["p_end"]),
+    }

@@ -73,15 +73,17 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
         H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG_INF).astype(jnp.int32)
         H0 = jnp.broadcast_to(H0, (BAND_PAD, TB))
         F0 = jnp.full((BAND_PAD, TB), NEG_INF, jnp.int32)
+        # best tracking lives in (BAND_PAD, TB) accumulators updated
+        # with O(1) selects per row; the sublane reductions happen ONCE
+        # after the loop (a ~25% op-count cut vs per-row reductions)
         if is_local:
-            best0 = jnp.zeros((1, TB), jnp.int32)
+            snap0 = jnp.zeros((BAND_PAD, TB), jnp.int32)
         else:
-            best0 = jnp.full((1, TB), NEG_INF, jnp.int32)
-        bi0 = jnp.zeros((1, TB), jnp.int32)
-        bk0 = jnp.full((1, TB), band_w, jnp.int32)
+            snap0 = jnp.full((BAND_PAD, TB), NEG_INF, jnp.int32)
+        row0 = jnp.zeros((BAND_PAD, TB), jnp.int32)
 
         def body(carry, i0, p, q, tsl):
-            H, F, best, best_i, best_k = carry
+            H, F, snapH, snapR = carry
             j = (i0 + 1) + krange - band_w  # (BAND_PAD, 1)
             valid = (j >= 0) & (j <= tlen) & in_band
             mm = scheme.mismatch_min + (
@@ -115,30 +117,16 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             F_new = jnp.where(valid, F_new, NEG_INF)
 
             row = i0 + 1
-            if atype == AlignmentType.GLOBAL:
-                hit = row == plen  # (1, TB)
-                k_goal = tlen - plen + band_w
-                h_goal = jnp.max(
-                    jnp.where(krange == k_goal, H_new, NEG_INF),
-                    axis=0, keepdims=True,
-                )
-                best = jnp.where(hit, h_goal, best)
-                best_i = jnp.where(hit, row, best_i)
-                best_k = jnp.where(hit, k_goal, best_k)
+            if is_local:
+                # per-cell running max; earliest row wins on ties
+                upd = (H_new > snapH) & (row <= plen)
+                snapH = jnp.where(upd, H_new, snapH)
+                snapR = jnp.where(upd, row, snapR)
             else:
-                row_best = jnp.max(H_new, axis=0, keepdims=True)
-                row_k = jnp.min(
-                    jnp.where(H_new == row_best, krange, BAND_PAD),
-                    axis=0, keepdims=True,
-                )
-                if atype == AlignmentType.SEMI_GLOBAL:
-                    upd = row == plen
-                else:
-                    upd = (row <= plen) & (row_best > best)
-                best = jnp.where(upd, row_best, best)
-                best_i = jnp.where(upd, row, best_i)
-                best_k = jnp.where(upd, row_k, best_k)
-            return H_new, F_new, best, best_i, best_k
+                # snapshot the final pattern row (per-lane plen)
+                hit = row == plen  # (1, TB) broadcast
+                snapH = jnp.where(hit, H_new, snapH)
+            return H_new, F_new, snapH, snapR
 
         def chunk(c, carry):
             # 8-row chunks: loads start at sublane-aligned offsets (a
@@ -158,9 +146,41 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
                 )
             return carry
 
-        H, F, best, best_i, best_k = jax.lax.fori_loop(
-            0, Lp // 8, chunk, (H0, F0, best0, bi0, bk0)
+        H, F, snapH, snapR = jax.lax.fori_loop(
+            0, Lp // 8, chunk, (H0, F0, snap0, row0)
         )
+        # final reductions over the band axis (once, not per row)
+        if atype == AlignmentType.GLOBAL:
+            k_goal = tlen - plen + band_w  # (1, TB)
+            best = jnp.max(
+                jnp.where(krange == k_goal, snapH, NEG_INF),
+                axis=0, keepdims=True,
+            )
+            best_i = plen
+            best_k = k_goal
+        elif atype == AlignmentType.SEMI_GLOBAL:
+            best = jnp.max(snapH, axis=0, keepdims=True)
+            best_k = jnp.min(
+                jnp.where(snapH == best, krange, BAND_PAD),
+                axis=0, keepdims=True,
+            )
+            best_i = plen
+        else:
+            best = jnp.max(snapH, axis=0, keepdims=True)
+            # tie-break: earliest row, then smallest k
+            key = snapR * jnp.int32(BAND_PAD) + krange
+            best_key = jnp.min(
+                jnp.where(snapH == best, key, jnp.int32(1 << 30)),
+                axis=0, keepdims=True,
+            )
+            best_i = best_key // BAND_PAD
+            best_k = best_key % BAND_PAD
+        zero_len = plen <= 0
+        best = jnp.where(zero_len,
+                         jnp.int32(0) if is_local else jnp.int32(NEG_INF),
+                         best)
+        best_i = jnp.where(zero_len, 0, best_i)
+        best_k = jnp.where(zero_len, band_w, best_k)
         t_end = jnp.maximum(best_i + best_k - band_w, 0)
         out_ref[0:1, :] = best
         out_ref[1:2, :] = best_i

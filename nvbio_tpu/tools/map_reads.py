@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--minins", type=int, default=0)
     p.add_argument("--maxins", type=int, default=500)
     p.add_argument("--local", action="store_true")
+    p.add_argument("-a", "--all", dest="all_hits", action="store_true",
+                   help="report all alignments above score-min "
+                   "(nvBowtie --all; secondary records FLAG 0x100)")
+    p.add_argument("--max-alns", type=int, default=8,
+                   help="per-read alignment cap in --all mode")
     p.add_argument("--batch", type=int, default=4096,
                    help="reads per device batch")
     p.add_argument("--stats", help="write stats JSON here")
@@ -101,6 +106,21 @@ def main(argv=None):
             for names, seqs, quals in batches(args.U):
                 reads, lens, qmat, _ = pack_reads(
                     seqs, quals, max_len=args.max_read_len)
+                if args.all_hits:
+                    from ..models.mapper import MapResult
+
+                    with stats.timer("compute"):
+                        all_res = mapper.map_reads_all(
+                            reads, lens, qmat, max_alns=args.max_alns)
+                    stats.observe([
+                        a[0] if a else MapResult(aligned=False)
+                        for a in all_res
+                    ])
+                    with stats.timer("output"):
+                        for rec in mapper.to_sam_records_all(
+                                names, reads, lens, qmat, all_res):
+                            writer.write(rec)
+                    continue
                 with stats.timer("compute"):
                     results = mapper.map_reads(reads, lens, qmat)
                 stats.observe(results)

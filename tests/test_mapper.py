@@ -178,3 +178,43 @@ def test_one_mismatch_seeding_rescues_unseedable_reads():
         1 for i, r in enumerate(r1) if r.aligned and r.pos == starts[i]
     )
     assert ok >= R - 2
+
+
+def test_all_mappings_mode_finds_planted_duplicates():
+    """--all mode (ref: nvBowtie all_inl.h): a read whose origin was
+    copied to a second locus must report both as alignments."""
+    from nvbio_tpu.fmindex import build_fm_index
+    from nvbio_tpu.models import MapperParams
+    from nvbio_tpu.models.mapper import Mapper
+    from nvbio_tpu.strings import pack_reads
+    from nvbio_tpu.utils.simulate import random_genome
+
+    genome = random_genome(40_000, seed=55)
+    genome[30_000:30_200] = genome[5_000:5_200]  # duplicate a segment
+    rng = np.random.default_rng(56)
+    R, L = 16, 80
+    seqs, starts = [], []
+    for _ in range(R):
+        off = int(rng.integers(0, 120))
+        seqs.append(genome[5_000 + off : 5_000 + off + L].copy())
+        starts.append(5_000 + off)
+    reads, lens, quals, _ = pack_reads(
+        seqs, [np.full(L, 35, np.uint8)] * R
+    )
+    params = MapperParams(batch_size=R, sa_sample=16, max_candidates=8)
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    m = Mapper(fm, ssa, genome, params=params, use_pallas=False)
+    all_res = m.map_reads_all(reads, lens, quals.astype(np.int32))
+    for i, alns in enumerate(all_res):
+        poss = sorted(a.pos for a in alns)
+        assert len(alns) >= 2, (i, poss)
+        assert starts[i] in poss
+        assert starts[i] + 25_000 in poss
+    # SAM emit: one primary + secondaries with FLAG 0x100
+    recs = m.to_sam_records_all(
+        [f"r{i}" for i in range(R)], reads, lens, quals, all_res
+    )
+    n_secondary = sum(1 for r in recs if r.flag & 0x100)
+    n_primary = sum(1 for r in recs if not (r.flag & 0x104))
+    assert n_primary == R
+    assert n_secondary >= R
