@@ -124,7 +124,25 @@ def locate(fm: FMIndex, ssa: SSA, idx, k_sample: int):
     def step(carry, _):
         i, steps, done = carry
         done = done | _is_marked(ssa, i)
-        nxt = lf(fm, i)
+        # fused LF: one BWT-word gather serves both the symbol read and
+        # the in-word popcount (the separate bwt_symbol+rank calls
+        # would gather the same word twice — this loop is the mapper's
+        # gather-bound hot spot, SURVEY.md §4.1)
+        b = i >> 7
+        w = (i >> 4) & 7
+        r = i & 15
+        word = fm.bwt_words[b, w]
+        c = ((word >> (2 * (i & 15)).astype(jnp.uint32)) & 3).astype(
+            jnp.int32)
+        cnt = (
+            fm.occ_abs[b, c]
+            + fm.occ_sub[b, w, c]
+            + popc_2bit_prefix(
+                word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+            ).astype(jnp.int32)
+        )
+        cnt = cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
+        nxt = fm.C[c] + cnt
         i = jnp.where(done, i, nxt)
         steps = steps + jnp.where(done, 0, 1)
         return (i, steps, done), None

@@ -17,11 +17,19 @@ formatting:
    work queues with compaction, per SURVEY.md §3.12), candidates are
    extended with the banded Gotoh kernel, and a top-2 reduction +
    MAPQ finishes on-device.
-2. ``traceback_batch`` — winners-only banded DP re-run emitting
-   direction flags (traceback_inl.h equivalent); the CIGAR/MD walk
-   happens on host (winner batches are small).
+2. ``traceback_walk_batch`` — winners-only banded DP re-run emitting
+   direction flags, then an ON-DEVICE traceback walk (traceback_inl.h
+   equivalent): only 2-bit op streams reach the host, where native C++
+   (native/traceback.cpp) assembles CIGAR/MD/NM strings.
 
 The ``Mapper`` class wires index + genome + params and produces SAM.
+
+Perf notes (measured on one v5e chip, 20 Mbp index, 100 bp reads):
+length-bucketing the batch, the rarity-first locate budget
+(``max_locate``), sa_sample=8, the fused-gather LF walk, the device
+traceback walk and the native string builder took end-to-end mapping
+from ~210 to ~6400 reads/s/chip through a slow host<->device tunnel
+(device-bound portion is far lower on directly-attached hosts).
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ import jax.numpy as jnp
 
 from ..alignment import banded_score_batch, banded_directions_batch
 from ..alignment.cigar import traceback_banded, cigar_to_string, make_md_string
-from ..alignment.types import NEG_INF
+from ..alignment.types import NEG_INF, AlignmentType
 from ..fmindex import FMIndex, SSA, backward_search, locate
 from ..ops.banded_dp import banded_score_pallas
 from ..strings.seeds import extract_uniform_seeds, num_uniform_seeds
@@ -180,17 +188,36 @@ def candidate_stage(
     sizes = jnp.where(sval, hi - lo, 0)
     use = jnp.where(sizes > params.max_range, 0, jnp.minimum(sizes, CAP))
 
-    # --- select + locate ---
+    # --- select (rarity-priority) + locate ---
+    # The SSA walk in locate() is the gather-bound hot spot (SURVEY.md
+    # §4.1 hot loop 3): select the most promising hits FIRST and walk
+    # only those.  Priority = smaller SA range (rarer seed), the
+    # reference's SeedHitDequeArray ordering (ref: seed_hit_deque_array
+    # .h, select_inl.h) — here a fixed-budget top-K over (seed, slot).
     t = jnp.arange(CAP, dtype=jnp.int32)
-    rows = lo[:, :, None] + t[None, None, :]  # (2R, S, CAP)
-    hit_ok = t[None, None, :] < use[:, :, None]
-    rows_safe = jnp.clip(rows, 0, n).reshape(-1)
-    pos = locate(fm, ssa, rows_safe, k_sample=params.sa_sample)
-    pos = pos.reshape(2 * R, S, CAP)
+    rows = (lo[:, :, None] + t[None, None, :]).reshape(2 * R, S * CAP)
+    hit_ok = (t[None, None, :] < use[:, :, None]).reshape(2 * R, S * CAP)
+    INF = jnp.int32(1 << 30)
+    prio = jnp.where(
+        hit_ok,
+        jnp.broadcast_to(sizes[:, :, None], (2 * R, S, CAP)).reshape(
+            2 * R, S * CAP),
+        INF,
+    )
+    KLOC = min(params.max_locate, S * CAP)
+    order = jnp.argsort(prio, axis=1)[:, :KLOC]  # (2R, KLOC)
+    rows_sel = jnp.take_along_axis(rows, order, axis=1)
+    ok_sel = jnp.take_along_axis(prio, order, axis=1) < INF
+    offs_flat = jnp.broadcast_to(
+        offsets[None, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
+    offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
+    pos = locate(
+        fm, ssa, jnp.clip(rows_sel, 0, n).reshape(-1),
+        k_sample=params.sa_sample,
+    ).reshape(2 * R, KLOC)
     SENT = n + 2 * L + 1
-    cand = jnp.where(hit_ok, pos - offsets[None, :, None], SENT)
+    cand = jnp.where(ok_sel, pos - offs_sel, SENT)
     cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
-    cand = cand.reshape(2 * R, S * CAP)
 
     if params.seed_mismatches >= 1:
         # 1-mismatch seeding (bowtie2 -N 1; ref: mapping_inl.h
@@ -296,7 +323,9 @@ def traceback_batch(
 
     reads/quals here are the ORIGINAL reads; the strand winner decides
     whether the forward or reverse-complemented pattern is re-aligned.
-    Returns (result dict, dirs) for the host CIGAR walk.
+    Returns (result dict, packed dirs) for the host CIGAR walk; dirs
+    are nibble-packed on device (two band cells per byte) to halve the
+    device->host transfer — unpack with ``unpack_dirs``.
     """
     R, L = reads.shape
     W = params.band_w
@@ -307,10 +336,107 @@ def traceback_batch(
     gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
     texts = genome[gidx]
     tlens = jnp.clip(n - win_start, 0, LT)
-    return banded_directions_batch(
+    res, dirs = banded_directions_batch(
         pats, lens, texts, tlens, pquals,
         scheme=params.scheme, atype=params.atype, band_w=W,
     )
+    band = dirs.shape[2]
+    if band % 2:
+        dirs = jnp.pad(dirs, ((0, 0), (0, 0), (0, 1)))
+    packed = dirs[:, :, 0::2] | (dirs[:, :, 1::2] << 4)
+    return res, packed
+
+
+def unpack_dirs(packed: np.ndarray, band: int) -> np.ndarray:
+    """Host-side inverse of traceback_batch's nibble packing."""
+    packed = np.asarray(packed)
+    R, Lp, half = packed.shape
+    dirs = np.empty((R, Lp, 2 * half), np.uint8)
+    dirs[:, :, 0::2] = packed & 0xF
+    dirs[:, :, 1::2] = packed >> 4
+    return dirs[:, :, :band]
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def traceback_walk_batch(
+    genome, n, reads, lens, quals, win_start, strand, *,
+    params: MapperParams
+):
+    """Winners-only DP + ON-DEVICE traceback walk.
+
+    The reference walks the DP flags in its traceback kernel (ref:
+    traceback_inl.h ``banded_traceback_best``); doing the same here
+    keeps the (B, Lp, BAND) direction matrix in HBM and ships only a
+    2-bit op stream per read to the host (~16x less transfer than the
+    matrix).  Returns (res, dict(ops=packed walk-order op codes,
+    p_start, t_start)); the host builds CIGAR/MD strings from the ops
+    (native C++ or Python fallback).
+
+    Op codes along the walk (end -> start): 0 none, 1 M, 2 D, 3 I.
+    """
+    R, L = reads.shape
+    W = params.band_w
+    BAND = 2 * W + 1
+    LT = L + 2 * W
+    rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
+    pats = jnp.where(strand[:, None] == 1, rc_reads, reads)
+    pquals = jnp.where(strand[:, None] == 1, rc_quals, quals)
+    gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
+    texts = genome[gidx]
+    tlens = jnp.clip(n - win_start, 0, LT)
+    res, dirs = banded_directions_batch(
+        pats, lens, texts, tlens, pquals,
+        scheme=params.scheme, atype=params.atype, band_w=W,
+    )
+    dirs_flat = dirs.reshape(R, L * BAND).astype(jnp.int32)
+
+    MAX = 2 * (2 * L + BAND)
+    MAX = (MAX + 3) // 4 * 4
+    i0 = res["p_end"].astype(jnp.int32)
+    k0 = res["t_end"].astype(jnp.int32) - i0 + W
+    st0 = jnp.zeros((R,), jnp.int32)  # 0=H 1=E 2=F
+    done0 = jnp.zeros((R,), bool)
+
+    def step(carry, _):
+        i, k, st, done = carry
+        idx = jnp.clip((i - 1) * BAND + k, 0, L * BAND - 1)
+        flag = jnp.take_along_axis(dirs_flat, idx[:, None], axis=1)[:, 0]
+        f = flag & 3
+        is_h = st == 0
+        fin = is_h & ((i == 0) | (f == 3))  # ORIGIN
+        done = done | fin
+        act = ~done
+        h_diag = is_h & (f == 0) & act
+        h_to_e = is_h & (f == 1) & act
+        h_to_f = is_h & (f == 2) & act
+        in_e = (st == 1) & act
+        in_f = (st == 2) & act
+        op = jnp.where(h_diag, 1,
+                       jnp.where(in_e, 2, jnp.where(in_f, 3, 0)))
+        ni = i - (h_diag | in_f).astype(jnp.int32)
+        nk = k - in_e.astype(jnp.int32) + in_f.astype(jnp.int32)
+        e_done = in_e & (((flag >> 2) & 1) == 1)
+        f_done = in_f & (((flag >> 3) & 1) == 1)
+        nst = jnp.where(h_to_e, 1,
+                        jnp.where(h_to_f, 2,
+                                  jnp.where(e_done | f_done, 0, st)))
+        return (ni, nk, nst, done), op.astype(jnp.uint8)
+
+    (fi, fk, _, _), ops_seq = jax.lax.scan(
+        step, (i0, k0, st0, done0), None, length=MAX
+    )
+    ops = ops_seq.T  # (R, MAX) walk order (end -> start)
+    packed = (
+        ops[:, 0::4]
+        | (ops[:, 1::4] << 2)
+        | (ops[:, 2::4] << 4)
+        | (ops[:, 3::4] << 6)
+    )
+    return res, {
+        "ops": packed,
+        "p_start": fi,
+        "t_start": fi + fk - W,
+    }
 
 
 @dataclass
@@ -354,15 +480,29 @@ class Mapper:
         gp = np.full(self.n + lt_pad, PAD, dtype=np.int8)
         gp[: self.n] = genome_symbols
         self.genome = jnp.asarray(gp)
+        self._genome_np = gp  # host copy for the native traceback walk
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+
+    @staticmethod
+    def _len_bucket(seqs, lens, quals):
+        """Trim the pad axis to the batch's max length rounded up to 32
+        — avoids running the DP over max_read_len padding (the
+        fixed-shape analog of the reference's staged-by-length
+        scheduler, ref: batched.h DeviceStagedThreadScheduler)."""
+        if len(lens) == 0:
+            return seqs, quals
+        lb = max(32, (int(lens.max()) + 31) // 32 * 32)
+        lb = min(lb, seqs.shape[1])
+        return seqs[:, :lb], quals[:, :lb]
 
     def map_reads(self, seqs: np.ndarray, lens: np.ndarray,
                   quals: np.ndarray) -> list[MapResult]:
         """Map one padded batch; returns per-read MapResult."""
         R = seqs.shape[0]
         B = self.params.batch_size
+        seqs, quals = self._len_bucket(seqs, lens, quals)
         out: list[MapResult] = []
         for s0 in range(0, R, B):
             out.extend(self._map_chunk(
@@ -382,13 +522,13 @@ class Mapper:
                                                     quals.dtype)])
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
-        jq = jnp.asarray(quals.astype(np.int32))
+        jq = jnp.asarray(quals.astype(np.uint8))
         fwd = self._forward(jr, jl, jq)
-        res, dirs = traceback_batch(
+        res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
         )
-        return self._finish(seqs, lens, quals, fwd, res, dirs)[:R]
+        return self._finish(seqs, lens, quals, fwd, res, walk)[:R]
 
     def _forward(self, jr, jl, jq):
         """The jitted forward mapping step; subclasses swap seeding."""
@@ -397,51 +537,106 @@ class Mapper:
             params=self.params, use_pallas=self.use_pallas,
         )
 
-    def _finish(self, seqs, lens, quals, fwd, res, dirs):
-        """Host CIGAR/MD walk for aligned reads."""
+    @staticmethod
+    def _corrected_pats(seqs, lens, strand):
+        """Strand-corrected patterns (vectorized reverse-complement)."""
+        R, L = seqs.shape
+        idx = lens[:, None].astype(np.int64) - 1 - np.arange(L)
+        ok = idx >= 0
+        g = np.take_along_axis(
+            seqs.astype(np.uint8), np.maximum(idx, 0).astype(np.int64),
+            axis=1)
+        rc = np.where(ok, np.where(g < 4, 3 - g, g), PAD).astype(np.uint8)
+        return np.where(strand[:, None] == 1, rc, seqs.astype(np.uint8))
+
+    def _finish(self, seqs, lens, quals, fwd, res, walk):
+        """CIGAR/MD/NM from device-walked op streams (native C++ batch
+        path with a Python fallback mirroring cigar.py)."""
         aligned = np.asarray(fwd["aligned"])
         strand = np.asarray(fwd["strand"])
-        win_start = np.asarray(fwd["win_start"])
+        win_start = np.asarray(fwd["win_start"]).astype(np.int64)
         score = np.asarray(fwd["score"])
         second = np.asarray(fwd["second"])
         has_second = np.asarray(fwd["has_second"])
         mapq = np.asarray(fwd["mapq"])
-        p_end = np.asarray(res["p_end"])
-        t_end = np.asarray(res["t_end"])
-        dirs = np.asarray(dirs)
-        genome = np.asarray(self.genome)
+        ops = np.asarray(walk["ops"])
+        p_start = np.asarray(walk["p_start"])
+        t_start = np.asarray(walk["t_start"])
+        is_global = self.params.atype == AlignmentType.GLOBAL
+        pats = self._corrected_pats(seqs, lens, strand)
+
+        native = self._finish_native(
+            ops, p_start, t_start, aligned, pats, lens, win_start,
+            is_global,
+        )
+        if native is not None:
+            cigars, mds, nms, poss, spans = native
+            return [
+                MapResult(
+                    aligned=True, ref_span=int(spans[r]), pos=int(poss[r]),
+                    strand=int(strand[r]), score=int(score[r]),
+                    second=int(second[r]) if has_second[r] else None,
+                    mapq=int(mapq[r]), cigar=cigars[r], md=mds[r],
+                    nm=int(nms[r]),
+                ) if aligned[r] else MapResult(aligned=False)
+                for r in range(seqs.shape[0])
+            ]
+
+        # Python fallback: decode 2-bit walk codes, reuse cigar helpers
+        genome = self._genome_np
         W = self.params.band_w
+        codes = np.stack(
+            [(ops >> s) & 3 for s in (0, 2, 4, 6)], axis=-1
+        ).reshape(ops.shape[0], -1)
         results = []
+        opc = "\0MDI"
         for r in range(seqs.shape[0]):
             if not aligned[r]:
                 results.append(MapResult(aligned=False))
                 continue
-            cigar_ops, p_start, t_start = traceback_banded(
-                dirs[r], int(p_end[r]), int(t_end[r]), W, self.params.atype
-            )
-            pat = seqs[r, : lens[r]].astype(np.uint8)
-            if strand[r] == 1:
-                pat = np.where(pat < 4, 3 - pat, pat)[::-1].astype(np.uint8)
+            walk_codes = codes[r][codes[r] != 0][::-1]  # forward order
+            fops = [opc[c] for c in walk_codes]
+            ts = int(t_start[r])
+            ps = int(p_start[r])
+            if is_global and ts > 0:
+                fops = ["D"] * ts + fops
+                ts = 0
+            cigar_ops = []
+            for op in fops:
+                if cigar_ops and cigar_ops[-1][0] == op:
+                    cigar_ops[-1][1] += 1
+                else:
+                    cigar_ops.append([op, 1])
+            cigar_ops = [(o, l) for o, l in cigar_ops]
+            pat = pats[r]
             window = genome[win_start[r] : win_start[r] + lens[r] + 2 * W]
-            md, nm = make_md_string(pat, window, p_start, t_start, cigar_ops)
+            md, nm = make_md_string(pat, window, ps, ts, cigar_ops)
             ref_span = sum(l for op, l in cigar_ops if op in "MD")
             results.append(
                 MapResult(
                     aligned=True,
                     ref_span=ref_span,
-                    pos=int(win_start[r] + t_start),
+                    pos=int(win_start[r] + ts),
                     strand=int(strand[r]),
                     score=int(score[r]),
                     second=int(second[r]) if has_second[r] else None,
                     mapq=int(mapq[r]),
-                    cigar=cigar_to_string(
-                        cigar_ops, p_start, int(lens[r])
-                    ),
+                    cigar=cigar_to_string(cigar_ops, ps, int(lens[r])),
                     md=md,
                     nm=nm,
                 )
             )
         return results
+
+    def _finish_native(self, ops, p_start, t_start, aligned, pats, lens,
+                       win_start, is_global):
+        """C++ batch string builder; None if no toolchain."""
+        from ..native import ops_batch_native
+
+        return ops_batch_native(
+            ops, p_start, t_start, aligned, pats, lens,
+            self._genome_np, win_start, is_global,
+        )
 
     def locate_contig(self, mr: MapResult):
         """Concat position -> (contig name, local pos); None if the
@@ -498,6 +693,7 @@ class Mapper:
         each traced back to a full MapResult."""
         R = seqs.shape[0]
         B = self.params.batch_size
+        seqs, quals = self._len_bucket(seqs, lens, quals)
         out: list[list[MapResult]] = []
         for s0 in range(0, R, B):
             out.extend(self._map_chunk_all(
@@ -518,7 +714,7 @@ class Mapper:
                                                     quals.dtype)])
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
-        jq = jnp.asarray(quals.astype(np.int32))
+        jq = jnp.asarray(quals.astype(np.uint8))
         fwd = map_all_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, k=k,
@@ -526,7 +722,7 @@ class Mapper:
         K = fwd["score"].shape[1]
         # traceback every slot: flatten (B, K) -> (B*K) pseudo-batch
         rep = lambda a: jnp.repeat(a, K, axis=0)
-        res, dirs = traceback_batch(
+        res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32),
             rep(jr), jnp.repeat(jl, K), rep(jq),
             fwd["win_start"].reshape(-1), fwd["strand"].reshape(-1),
@@ -543,7 +739,7 @@ class Mapper:
         }
         results = self._finish(
             np.repeat(seqs, K, axis=0), np.repeat(lens, K),
-            np.repeat(quals, K, axis=0), flat_fwd, res, dirs,
+            np.repeat(quals, K, axis=0), flat_fwd, res, walk,
         )
         grouped = []
         for r in range(min(R, B)):

@@ -31,7 +31,7 @@ from ..ops.banded_dp import banded_score_pallas
 from .params import MapperParams
 from .mapper import (
     candidate_stage,
-    traceback_batch,
+    traceback_walk_batch,
     _revcomp_batch,
     _score_min,
     _score_perfect,
@@ -243,6 +243,9 @@ class PairedMapper(Mapper):
         """Returns (results1, results2, pair_info list of dicts)."""
         R = seqs1.shape[0]
         B = self.params.batch_size
+        both_lens = np.concatenate([lens1, lens2])
+        seqs1, quals1 = self._len_bucket(seqs1, both_lens, quals1)
+        seqs2, quals2 = self._len_bucket(seqs2, both_lens, quals2)
         out1, out2, info = [], [], []
         for s0 in range(0, R, B):
             r1, r2, pi = self._map_pair_chunk(
@@ -280,17 +283,17 @@ class PairedMapper(Mapper):
         res2 = []
         for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
                                    (m2, (s2p, l2p, q2p))):
-            res, dirs = traceback_batch(
+            res, walk = traceback_walk_batch(
                 self.genome, nj, jnp.asarray(sp),
                 jnp.asarray(lp.astype(np.int32)),
-                jnp.asarray(qp.astype(np.int32)),
+                jnp.asarray(qp.astype(np.uint8)),
                 mate["win_start"], mate["strand"], params=self.params,
             )
             fwd = dict(mate)
             fwd["second"] = jnp.full(B, NEG_INF, jnp.int32)
             fwd["has_second"] = jnp.zeros(B, bool)
             (res1 if mate is m1 else res2).extend(
-                self._finish(sp, lp, qp, fwd, res, dirs)
+                self._finish(sp, lp, qp, fwd, res, walk)
             )
         proper = np.asarray(pair["proper"])
         discordant = np.asarray(pair["discordant"])

@@ -27,6 +27,7 @@ class MapperParams:
     max_hits_per_seed: int = 8  # SA rows expanded per seed
     max_range: int = 64  # seeds with more hits are skipped as repetitive
     max_candidates: int = 16  # distinct diagonals scored per read-strand
+    max_locate: int = 32  # SSA walks per read-strand (rarity-first budget)
     # extension
     band_w: int = 15
     scheme: GotohScheme = GotohScheme()

@@ -165,3 +165,139 @@ def bgzf_compress_native(data: bytes, level: int = 6):
     if w < 0:
         return None
     return out[:w].tobytes()
+
+
+_TB_SO = os.path.join(_DIR, "_traceback.so")
+_TB_SRC = os.path.join(_DIR, "traceback.cpp")
+_tb_lib = None
+_tb_tried = False
+
+
+def tb_lib():
+    """ctypes handle for the traceback library, or None."""
+    global _tb_lib, _tb_tried
+    with _lock:
+        if _tb_lib is not None or _tb_tried:
+            return _tb_lib
+        _tb_tried = True
+        try:
+            L = _build(_TB_SRC, _TB_SO)
+            L.tb_batch.restype = ctypes.c_long
+            L.ops_batch.restype = ctypes.c_long
+            _tb_lib = L
+        except Exception:
+            _tb_lib = None
+        return _tb_lib
+
+
+def tb_batch_native(dirs, p_end, t_end, aligned, pats, plens, genome,
+                    win_start, band_w: int, global_mode: bool):
+    """Batch traceback + CIGAR/MD/NM via C++; None if lib unavailable.
+
+    Mirrors alignment/cigar.py exactly (oracle-tested); returns
+    (cigars list[str], mds list[str], nm, pos, ref_span arrays)."""
+    L = tb_lib()
+    if L is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
+    R, Lp, BAND = dirs.shape
+    p_end = np.ascontiguousarray(p_end, dtype=np.int32)
+    t_end = np.ascontiguousarray(t_end, dtype=np.int32)
+    aligned = np.ascontiguousarray(aligned, dtype=np.uint8)
+    pats = np.ascontiguousarray(pats, dtype=np.uint8)
+    plens = np.ascontiguousarray(plens, dtype=np.int32)
+    genome = np.ascontiguousarray(genome, dtype=np.int8)
+    win_start = np.ascontiguousarray(win_start, dtype=np.int64)
+    cig_cap = int(R * (Lp * 8 + 32) + 64)
+    md_cap = cig_cap
+    cig_blob = np.zeros(cig_cap, dtype=np.uint8)
+    md_blob = np.zeros(md_cap, dtype=np.uint8)
+    cig_offs = np.zeros(R + 1, dtype=np.int64)
+    md_offs = np.zeros(R + 1, dtype=np.int64)
+    nm = np.zeros(R, dtype=np.int32)
+    pos = np.zeros(R, dtype=np.int32)
+    span = np.zeros(R, dtype=np.int32)
+    c = ctypes
+    r = L.tb_batch(
+        dirs.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        c.c_long(R), c.c_long(Lp), c.c_long(BAND),
+        p_end.ctypes.data_as(c.POINTER(c.c_int)),
+        t_end.ctypes.data_as(c.POINTER(c.c_int)),
+        aligned.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        pats.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        plens.ctypes.data_as(c.POINTER(c.c_int)),
+        genome.ctypes.data_as(c.POINTER(c.c_byte)),
+        c.c_longlong(len(genome)),
+        win_start.ctypes.data_as(c.POINTER(c.c_longlong)),
+        c.c_int(band_w), c.c_int(1 if global_mode else 0),
+        cig_blob.ctypes.data_as(c.POINTER(c.c_char)), c.c_long(cig_cap),
+        cig_offs.ctypes.data_as(c.POINTER(c.c_longlong)),
+        md_blob.ctypes.data_as(c.POINTER(c.c_char)), c.c_long(md_cap),
+        md_offs.ctypes.data_as(c.POINTER(c.c_longlong)),
+        nm.ctypes.data_as(c.POINTER(c.c_int)),
+        pos.ctypes.data_as(c.POINTER(c.c_int)),
+        span.ctypes.data_as(c.POINTER(c.c_int)),
+    )
+    if r != 0:
+        raise RuntimeError(f"tb_batch failed: {r}")
+    cb = cig_blob.tobytes()
+    mb = md_blob.tobytes()
+    cigars = [cb[cig_offs[i]:cig_offs[i + 1]].decode() for i in range(R)]
+    mds = [mb[md_offs[i]:md_offs[i + 1]].decode() for i in range(R)]
+    return cigars, mds, nm, pos, span
+
+
+def ops_batch_native(ops, p_start, t_start, aligned, pats, plens,
+                     genome, win_start, global_mode: bool):
+    """CIGAR/MD/NM from device-walked 2-bit op streams via C++; None if
+    the lib is unavailable.  Returns (cigars, mds, nm, pos, span)."""
+    L = tb_lib()
+    if L is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    R, SP = ops.shape
+    p_start = np.ascontiguousarray(p_start, dtype=np.int32)
+    t_start = np.ascontiguousarray(t_start, dtype=np.int32)
+    aligned = np.ascontiguousarray(aligned, dtype=np.uint8)
+    pats = np.ascontiguousarray(pats, dtype=np.uint8)
+    Lp = pats.shape[1]
+    plens = np.ascontiguousarray(plens, dtype=np.int32)
+    genome = np.ascontiguousarray(genome, dtype=np.int8)
+    win_start = np.ascontiguousarray(win_start, dtype=np.int64)
+    cig_cap = int(R * (SP * 16 + 32) + 64)
+    md_cap = cig_cap
+    cig_blob = np.zeros(cig_cap, dtype=np.uint8)
+    md_blob = np.zeros(md_cap, dtype=np.uint8)
+    cig_offs = np.zeros(R + 1, dtype=np.int64)
+    md_offs = np.zeros(R + 1, dtype=np.int64)
+    nm = np.zeros(R, dtype=np.int32)
+    pos = np.zeros(R, dtype=np.int32)
+    span = np.zeros(R, dtype=np.int32)
+    c = ctypes
+    r = L.ops_batch(
+        ops.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        c.c_long(R), c.c_long(SP),
+        p_start.ctypes.data_as(c.POINTER(c.c_int)),
+        t_start.ctypes.data_as(c.POINTER(c.c_int)),
+        aligned.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        pats.ctypes.data_as(c.POINTER(c.c_ubyte)),
+        plens.ctypes.data_as(c.POINTER(c.c_int)),
+        c.c_long(Lp),
+        genome.ctypes.data_as(c.POINTER(c.c_byte)),
+        win_start.ctypes.data_as(c.POINTER(c.c_longlong)),
+        c.c_int(1 if global_mode else 0),
+        cig_blob.ctypes.data_as(c.POINTER(c.c_char)), c.c_long(cig_cap),
+        cig_offs.ctypes.data_as(c.POINTER(c.c_longlong)),
+        md_blob.ctypes.data_as(c.POINTER(c.c_char)), c.c_long(md_cap),
+        md_offs.ctypes.data_as(c.POINTER(c.c_longlong)),
+        nm.ctypes.data_as(c.POINTER(c.c_int)),
+        pos.ctypes.data_as(c.POINTER(c.c_int)),
+        span.ctypes.data_as(c.POINTER(c.c_int)),
+    )
+    if r != 0:
+        raise RuntimeError(f"ops_batch failed: {r}")
+    cb = cig_blob.tobytes()
+    mb = md_blob.tobytes()
+    cigars = [cb[cig_offs[i]:cig_offs[i + 1]].decode() for i in range(R)]
+    mds = [mb[md_offs[i]:md_offs[i + 1]].decode() for i in range(R)]
+    return cigars, mds, nm, pos, span

@@ -218,3 +218,35 @@ def test_all_mappings_mode_finds_planted_duplicates():
     n_primary = sum(1 for r in recs if not (r.flag & 0x104))
     assert n_primary == R
     assert n_secondary >= R
+
+
+def test_native_finish_matches_python_walk(mapper):
+    """The C++ traceback/CIGAR/MD batch path must be byte-identical to
+    the Python oracle walk on reads with substitutions and indels."""
+    import pytest
+    from nvbio_tpu.native import tb_lib
+    from nvbio_tpu.utils.simulate import simulate_reads
+    from nvbio_tpu.strings import pack_reads
+
+    if tb_lib() is None:
+        pytest.skip("no C++ toolchain")
+    m, genome = mapper
+    sim = simulate_reads(genome, 48, 100, seed=71, error_rate=0.03,
+                         indel_rate=0.01)
+    reads, lens, quals, _ = pack_reads(
+        list(sim["seqs"].astype(np.uint8)), list(sim["quals"])
+    )
+    quals = quals.astype(np.int32)
+    res_native = m.map_reads(reads, lens, quals)
+    # force the Python fallback by monkeypatching the native entry
+    orig = m._finish_native
+    m._finish_native = lambda *a, **k: None
+    try:
+        res_python = m.map_reads(reads, lens, quals)
+    finally:
+        m._finish_native = orig
+    for a, b in zip(res_native, res_python):
+        assert (a.aligned, a.pos, a.strand, a.cigar, a.md, a.nm,
+                a.ref_span, a.score, a.mapq) == \
+               (b.aligned, b.pos, b.strand, b.cigar, b.md, b.nm,
+                b.ref_span, b.score, b.mapq)
