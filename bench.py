@@ -14,6 +14,12 @@ import sys
 import time
 
 import numpy as np
+
+import os
+os.sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from nvbio_tpu.utils.jax_cache import enable_compilation_cache
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

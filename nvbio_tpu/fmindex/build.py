@@ -57,7 +57,10 @@ def build_fm_index(
     block_cum = word_cum[::WORDS]
     occ_abs = block_cum.astype(np.int32)
     word_starts = word_cum.reshape(n_blocks, WORDS, 4)
-    occ_sub = (word_starts - block_cum[:, None, :]).astype(np.int32)
+    # in-block word deltas are <= 112 (7 words x 16 symbols): int8
+    # is lossless — the BASELINE 'int8 occurrence layout' (4x less
+    # HBM per rank gather at hg scale)
+    occ_sub = (word_starts - block_cum[:, None, :]).astype(np.int8)
 
     bwt_words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
 
@@ -98,3 +101,32 @@ def build_fm_index(
         vals=jnp.asarray(vals),
     )
     return fm, ssa
+
+
+def build_kmer_lut(text: np.ndarray, sa: np.ndarray, k: int = 11):
+    """k-mer -> SA-range lookup table (lut_lo, lut_hi), each (4^k,)
+    int32: the starting range for backward search after resolving the
+    last k pattern symbols in one gather (SURVEY.md §7.3(2)).
+
+    Short suffixes (len < k) sort before any full k-mer with the same
+    prefix under the sentinel-smallest convention, which the build
+    encodes with a key LSB: key = packed_prefix * 2 + is_full.
+    """
+    if k > 15:
+        raise ValueError("k-mer LUT keys are int32: k <= 15")
+    text = np.asarray(text, dtype=np.uint8)
+    n = len(text)
+    sa = np.asarray(sa)
+    # rolling k-symbol keys over text padded with 'A' (short suffixes
+    # get a padded key; the is_full bit orders them first)
+    padded = np.concatenate([text & 3, np.zeros(k, np.uint8)])
+    keys = np.zeros(n + 1, dtype=np.int64)
+    for j in range(k):
+        keys = (keys << 2) | padded[j : j + n + 1]
+    keys = keys[:n]
+    full = (sa <= n - k).astype(np.int64)
+    sorted_keys = keys[sa] * 2 + full  # nondecreasing by SA order
+    probes = np.arange(1 << (2 * k), dtype=np.int64) * 2 + 1
+    lo = np.searchsorted(sorted_keys, probes, side="left") + 1
+    hi = np.searchsorted(sorted_keys, probes, side="right") + 1
+    return lo.astype(np.int32), hi.astype(np.int32)

@@ -26,7 +26,7 @@ from ..basic.packed import popc_2bit_prefix
 class FMIndex(NamedTuple):
     bwt_words: jnp.ndarray  # (n_blocks, 8) uint32 — 128 symbols/block
     occ_abs: jnp.ndarray  # (n_blocks, 4) int32 — counts before block
-    occ_sub: jnp.ndarray  # (n_blocks, 8, 4) int32 — within-block, before word
+    occ_sub: jnp.ndarray  # (n_blocks, 8, 4) int8 — within-block, before word
     C: jnp.ndarray  # (5,) int32 — C[c] = 1 + #{symbols < c}; C[4] = n+1
     primary: jnp.ndarray  # () int32 — BWT row of the sentinel
     n: jnp.ndarray  # () int32 — text length (without sentinel)
@@ -49,7 +49,7 @@ def rank(fm: FMIndex, c, i):
     words = fm.bwt_words[b, w]
     cnt = (
         fm.occ_abs[b, c]
-        + fm.occ_sub[b, w, c]
+        + fm.occ_sub[b, w, c].astype(jnp.int32)
         + popc_2bit_prefix(words, c.astype(jnp.uint32), r.astype(jnp.uint32)).astype(jnp.int32)
     )
     return cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
@@ -67,19 +67,37 @@ def lf(fm: FMIndex, i):
     return fm.C[c] + rank(fm, c, i)
 
 
-def backward_search(fm: FMIndex, seeds, slens=None):
+def backward_search(fm: FMIndex, seeds, slens=None, lut=None,
+                    lut_k: int = 0):
     """Batched exact backward search.
 
     seeds: (N, L) int32 symbols, left-aligned; slens: (N,) effective
     lengths (None = all L).  Returns (lo, hi): SA ranges [lo, hi) of
     each seed; empty range (hi == lo) if the seed contains N or has no
     match.  (ref: fmindex.h ``match``; filter.h ``FMIndexFilter::rank``)
+
+    `lut`: optional (lut_lo, lut_hi) k-mer range table (fixed-length
+    seeds only): the LAST lut_k symbols resolve with a single gather,
+    cutting the dependent rank4 chain from L to L - lut_k steps — the
+    "k-step LF" latency fix from SURVEY.md §7.3(2).
     """
     N, L = seeds.shape
+    use_lut = lut is not None and slens is None and 0 < lut_k <= L
     if slens is None:
         slens = jnp.full((N,), L, jnp.int32)
-    lo0 = jnp.zeros((N,), jnp.int32)
-    hi0 = jnp.full((N,), fm.n + 1, jnp.int32)
+    if use_lut:
+        tail = seeds[:, L - lut_k :].astype(jnp.int32)
+        bad0 = (tail >= 4).any(axis=1)
+        key = jnp.zeros((N,), jnp.int32)
+        for j in range(lut_k):
+            key = (key << 2) | (tail[:, j] & 3)
+        lo0 = jnp.where(bad0, 0, lut[0][key])
+        hi0 = jnp.where(bad0, 0, lut[1][key])
+        scan_hi = L - lut_k
+    else:
+        lo0 = jnp.zeros((N,), jnp.int32)
+        hi0 = jnp.full((N,), fm.n + 1, jnp.int32)
+        scan_hi = L
 
     def step(carry, pos):
         lo, hi = carry
@@ -96,7 +114,8 @@ def backward_search(fm: FMIndex, seeds, slens=None):
         return (lo, hi), None
 
     (lo, hi), _ = jax.lax.scan(
-        step, (lo0, hi0), jnp.arange(L - 1, -1, -1, dtype=jnp.int32)
+        step, (lo0, hi0),
+        jnp.arange(scan_hi - 1, -1, -1, dtype=jnp.int32),
     )
     return lo, hi
 
@@ -136,7 +155,7 @@ def locate(fm: FMIndex, ssa: SSA, idx, k_sample: int):
             jnp.int32)
         cnt = (
             fm.occ_abs[b, c]
-            + fm.occ_sub[b, w, c]
+            + fm.occ_sub[b, w, c].astype(jnp.int32)
             + popc_2bit_prefix(
                 word, c.astype(jnp.uint32), r.astype(jnp.uint32)
             ).astype(jnp.int32)

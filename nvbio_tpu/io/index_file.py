@@ -24,13 +24,18 @@ FORMAT_VERSION = 1
 
 
 def save_index(path, fm: FMIndex, ssa: SSA, genome: np.ndarray,
-               contig_names, contig_lens, sa_sample: int):
+               contig_names, contig_lens, sa_sample: int,
+               lut=None, lut_k: int = 0):
     meta = {
         "version": FORMAT_VERSION,
         "sa_sample": int(sa_sample),
+        "lut_k": int(lut_k if lut is not None else 0),
         "contig_names": list(contig_names),
         "contig_lens": [int(x) for x in contig_lens],
     }
+    extra = {}
+    if lut is not None:
+        extra = {"lut_lo": np.asarray(lut[0]), "lut_hi": np.asarray(lut[1])}
     np.savez(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -44,6 +49,7 @@ def save_index(path, fm: FMIndex, ssa: SSA, genome: np.ndarray,
         mark_words=np.asarray(ssa.mark_words),
         mark_abs=np.asarray(ssa.mark_abs),
         vals=np.asarray(ssa.vals),
+        **extra,
     )
 
 
@@ -64,6 +70,9 @@ def load_index(path, mmap: bool = False):
         mark_abs=jnp.asarray(z["mark_abs"]),
         vals=jnp.asarray(z["vals"]),
     )
+    meta.setdefault("lut_k", 0)
+    if "lut_lo" in getattr(z, "files", []):
+        meta["lut"] = (jnp.asarray(z["lut_lo"]), jnp.asarray(z["lut_hi"]))
     return fm, ssa, np.asarray(z["genome"]), meta
 
 

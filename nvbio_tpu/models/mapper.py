@@ -162,6 +162,7 @@ def candidate_stage(
     *,
     params: MapperParams,
     use_pallas: bool = False,
+    lut=None,
 ):
     """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
@@ -182,7 +183,8 @@ def candidate_stage(
         all_reads, lens2, params.seed_len, params.seed_interval
     )
     flat_seeds = seeds.reshape(2 * R * S, params.seed_len)
-    lo, hi = backward_search(fm, flat_seeds)
+    lo, hi = backward_search(fm, flat_seeds, lut=lut,
+                             lut_k=params.lut_k if lut is not None else 0)
     lo = lo.reshape(2 * R, S)
     hi = hi.reshape(2 * R, S)
     sizes = jnp.where(sval, hi - lo, 0)
@@ -263,6 +265,7 @@ def map_batch(
     *,
     params: MapperParams,
     use_pallas: bool = False,
+    lut=None,
 ):
     """Forward mapping step: per-read best/second alignments + MAPQ.
 
@@ -271,7 +274,7 @@ def map_batch(
     """
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
-        params=params, use_pallas=use_pallas,
+        params=params, use_pallas=use_pallas, lut=lut,
     )
     return top2_finish(cands, lens, params)
 
@@ -465,9 +468,10 @@ class Mapper:
     def __init__(self, fm, ssa, genome_symbols: np.ndarray,
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
-                 contigs: dict | None = None):
+                 contigs: dict | None = None, lut=None):
         self.fm = fm
         self.ssa = ssa
+        self.lut = lut  # optional k-mer range LUT (params.lut_k)
         self.params = params
         self.ref_name = ref_name
         self.n = int(genome_symbols.shape[0])
@@ -510,7 +514,9 @@ class Mapper:
             ))
         return out
 
-    def _map_chunk(self, seqs, lens, quals):
+    def _dispatch_chunk(self, seqs, lens, quals):
+        """Launch the device work for one chunk (async; nothing is
+        pulled to the host here)."""
         R = seqs.shape[0]
         B = self.params.batch_size
         if R < B:  # pad to the jit batch shape
@@ -528,13 +534,55 @@ class Mapper:
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
         )
+        return (seqs, lens, quals, fwd, res, walk, R)
+
+    def _collect_chunk(self, handle):
+        seqs, lens, quals, fwd, res, walk, R = handle
         return self._finish(seqs, lens, quals, fwd, res, walk)[:R]
+
+    def _map_chunk(self, seqs, lens, quals):
+        return self._collect_chunk(self._dispatch_chunk(seqs, lens, quals))
+
+    def map_stream(self, packed_iter, depth: int = 2):
+        """Double-buffered mapping over an iterator of
+        (names, seqs, lens, quals) batches: batch k+1's device work is
+        dispatched before batch k's host string-building — JAX's async
+        dispatch overlaps them, replacing the reference's
+        InputThread/ComputeThread pipeline (ref: input_thread.cpp,
+        compute_thread.cpp; SURVEY.md §3.12).  Yields
+        (names, seqs, lens, quals, results) per input batch.
+        """
+        from collections import deque
+
+        pending: deque = deque()
+
+        def drain():
+            nm, sq, ln, ql, hs = pending.popleft()
+            return nm, sq, ln, ql, [
+                r for h in hs for r in self._collect_chunk(h)
+            ]
+
+        for names, seqs, lens, quals in packed_iter:
+            seqs, quals = self._len_bucket(seqs, lens, quals)
+            handles = [
+                self._dispatch_chunk(
+                    seqs[s0 : s0 + self.params.batch_size],
+                    lens[s0 : s0 + self.params.batch_size],
+                    quals[s0 : s0 + self.params.batch_size],
+                )
+                for s0 in range(0, seqs.shape[0], self.params.batch_size)
+            ]
+            pending.append((names, seqs, lens, quals, handles))
+            while len(pending) >= depth:
+                yield drain()
+        while pending:
+            yield drain()
 
     def _forward(self, jr, jl, jq):
         """The jitted forward mapping step; subclasses swap seeding."""
         return map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
-            params=self.params, use_pallas=self.use_pallas,
+            params=self.params, use_pallas=self.use_pallas, lut=self.lut,
         )
 
     @staticmethod
@@ -718,6 +766,7 @@ class Mapper:
         fwd = map_all_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, k=k,
+            lut=self.lut,
         )
         K = fwd["score"].shape[1]
         # traceback every slot: flatten (B, K) -> (B*K) pseudo-batch
@@ -789,6 +838,7 @@ def map_all_batch(
     params: MapperParams,
     use_pallas: bool = False,
     k: int = 8,
+    lut=None,
 ):
     """All-mappings forward step (ref: nvBowtie --all, all_inl.h).
 
@@ -802,7 +852,7 @@ def map_all_batch(
     k = min(k, 2 * C)
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
-        params=params, use_pallas=use_pallas,
+        params=params, use_pallas=use_pallas, lut=lut,
     )
     sc = cands["score"]
     order = jnp.argsort(-sc, axis=1)[:, :k]  # (R, k) score-descending

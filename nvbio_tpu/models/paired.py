@@ -110,7 +110,7 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def pe_map_batch(
     fm, ssa, genome, r1, l1, q1, r2, l2, q2, *,
-    params: MapperParams, use_pallas: bool = False,
+    params: MapperParams, use_pallas: bool = False, lut=None,
 ):
     """Paired forward step.  Returns per-mate dicts (aligned, strand,
     win_start, score, mapq, rescue_w used) + pair-level info (proper,
@@ -119,9 +119,9 @@ def pe_map_batch(
     C = params.max_candidates
     n = fm.n
     c1 = candidate_stage(fm, ssa, genome, r1, l1, q1, params=params,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, lut=lut)
     c2 = candidate_stage(fm, ssa, genome, r2, l2, q2, params=params,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, lut=lut)
     smin1 = _score_min(l1, params)
     smin2 = _score_min(l2, params)
 
@@ -276,7 +276,7 @@ class PairedMapper(Mapper):
         )
         m1, m2, pair = pe_map_batch(
             self.fm, self.ssa, self.genome, *args,
-            params=self.params, use_pallas=self.use_pallas,
+            params=self.params, use_pallas=self.use_pallas, lut=self.lut,
         )
         nj = jnp.asarray(self.n, jnp.int32)
         res1 = []

@@ -28,6 +28,7 @@ class MapperParams:
     max_range: int = 64  # seeds with more hits are skipped as repetitive
     max_candidates: int = 16  # distinct diagonals scored per read-strand
     max_locate: int = 32  # SSA walks per read-strand (rarity-first budget)
+    lut_k: int = 11  # seed-tail k-mer LUT width (0 = no LUT)
     # extension
     band_w: int = 15
     scheme: GotohScheme = GotohScheme()

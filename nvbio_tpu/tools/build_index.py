@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--n-seed", type=int, default=7,
                    help="RNG seed for ambiguous-base substitution")
     p.add_argument("--pac", help="also write a BWA-layout .pac here")
+    p.add_argument("--lut-k", type=int, default=11,
+                   help="seed-tail k-mer LUT width (0 = none)")
     p.add_argument("--algorithm", choices=["auto", "sais", "pd", "device"],
                    default="auto",
                    help="suffix sort: native C++ SA-IS (any size), NumPy "
@@ -42,6 +44,9 @@ def main(argv=None):
           f"{len(g['symbols'])} bp, {len(g['amb'])} ambiguity runs",
           file=sys.stderr)
     sa = None
+    if args.algorithm == "auto" and args.lut_k > 0:
+        from ..sufsort import suffix_array
+        sa = suffix_array(g["symbols"])
     if args.algorithm != "auto":
         from ..sufsort import (suffix_array, suffix_array_pd,
                                suffix_array_device)
@@ -62,8 +67,16 @@ def main(argv=None):
         print(f"[build_index] suffix sort ({args.algorithm}): {dt:.1f}s "
               f"({n/max(dt,1e-9)/1e6:.1f} Mbp/s)", file=sys.stderr)
     fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample, sa=sa)
+    lut = None
+    if args.lut_k > 0:
+        from ..fmindex.build import build_kmer_lut
+        if sa is None:
+            from ..sufsort import suffix_array
+            sa = suffix_array(g["symbols"])
+        lut = build_kmer_lut(g["symbols"], sa, k=args.lut_k)
     save_index(args.output, fm, ssa, g["symbols"].astype("int8"),
-               g["names"], g["lens"], args.sa_sample)
+               g["names"], g["lens"], args.sa_sample,
+               lut=lut, lut_k=args.lut_k)
     if args.pac:
         write_pac(args.pac, g["symbols"])
     print(f"[build_index] wrote {args.output} in {time.time()-t0:.1f}s",

@@ -48,6 +48,9 @@ def main(argv=None):
     if not args.U and not (args.m1 and args.m2):
         p.error("need -U or -1/-2")
 
+    from ..utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import numpy as np
     from ..io.index_file import load_index
     from ..io.fastq import FastqBatchReader
@@ -68,6 +71,7 @@ def main(argv=None):
         maxins=args.maxins,
         batch_size=args.batch,
         sa_sample=meta["sa_sample"],
+        lut_k=meta.get("lut_k", 0),
         max_read_len=args.max_read_len,
     )
     contigs = {
@@ -79,7 +83,8 @@ def main(argv=None):
     }
     cls = PairedMapper if args.m1 else Mapper
     mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
-                 use_pallas=False if args.cpu else None)
+                 use_pallas=False if args.cpu else None,
+                 lut=meta.get("lut"))
     stats = MappingStats()
     writer_cls = SamWriter
     if args.sam.endswith(".bam"):
@@ -101,33 +106,39 @@ def main(argv=None):
             sl = slice(i, i + args.batch)
             yield names[sl], seqs[sl], quals[sl]
 
-    with stats.timer("total"):
-        if args.U:
-            for names, seqs, quals in batches(args.U):
-                reads, lens, qmat, _ = pack_reads(
-                    seqs, quals, max_len=args.max_read_len)
-                if args.all_hits:
-                    from ..models.mapper import MapResult
+    def packed(path):
+        for names, seqs, quals in batches(path):
+            reads, lens, qmat, _ = pack_reads(
+                seqs, quals, max_len=args.max_read_len)
+            yield names, reads, lens, qmat
 
-                    with stats.timer("compute"):
-                        all_res = mapper.map_reads_all(
-                            reads, lens, qmat, max_alns=args.max_alns)
-                    stats.observe([
-                        a[0] if a else MapResult(aligned=False)
-                        for a in all_res
-                    ])
-                    with stats.timer("output"):
-                        for rec in mapper.to_sam_records_all(
-                                names, reads, lens, qmat, all_res):
-                            writer.write(rec)
-                    continue
+    with stats.timer("total"):
+        if args.U and args.all_hits:
+            from ..models.mapper import MapResult
+
+            for names, reads, lens, qmat in packed(args.U):
                 with stats.timer("compute"):
-                    results = mapper.map_reads(reads, lens, qmat)
-                stats.observe(results)
+                    all_res = mapper.map_reads_all(
+                        reads, lens, qmat, max_alns=args.max_alns)
+                stats.observe([
+                    a[0] if a else MapResult(aligned=False)
+                    for a in all_res
+                ])
                 with stats.timer("output"):
-                    for rec in mapper.to_sam_records(
-                            names, reads, lens, qmat, results):
+                    for rec in mapper.to_sam_records_all(
+                            names, reads, lens, qmat, all_res):
                         writer.write(rec)
+        elif args.U:
+            # double-buffered: device work for batch k+1 overlaps host
+            # SAM emit for batch k (InputThread/ComputeThread equiv)
+            with stats.timer("compute"):
+                for names, reads, lens, qmat, results in \
+                        mapper.map_stream(packed(args.U)):
+                    stats.observe(results)
+                    with stats.timer("output"):
+                        for rec in mapper.to_sam_records(
+                                names, reads, lens, qmat, results):
+                            writer.write(rec)
         else:
             it1 = FastqBatchReader(args.m1, args.batch)
             it2 = FastqBatchReader(args.m2, args.batch)

@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
     args = p.parse_args(argv)
 
+    from ..utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import numpy as np
     from ..io.index_file import load_index
     from ..io.sequence import ReadBatchIterator

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
     args = p.parse_args(argv)
 
+    from ..utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import numpy as np
     from ..io.index_file import load_index
     from ..io.sequence import ReadBatchIterator
@@ -45,6 +48,7 @@ def main(argv=None):
         local=args.local,
         batch_size=args.batch,
         sa_sample=meta["sa_sample"],
+        lut_k=meta.get("lut_k", 0),
         max_read_len=args.max_read_len,
     )
     contigs = {

@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args(argv)
 
+    from ..utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from ..alignment import GotohScheme, AlignmentType, EDIT_DISTANCE_SCHEME

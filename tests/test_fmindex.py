@@ -111,3 +111,67 @@ def test_locate_all_rows():
     idx = jnp.arange(n + 1, dtype=jnp.int32)
     pos = np.asarray(locate(fm, ssa, idx, k_sample=8))
     np.testing.assert_array_equal(pos, sa_full)
+
+
+def test_kmer_lut_search_matches_plain():
+    """LUT-seeded backward search == plain scan (SURVEY.md §7.3(2))."""
+    import jax.numpy as jnp
+    from nvbio_tpu.fmindex import build_fm_index, backward_search
+    from nvbio_tpu.fmindex.build import build_kmer_lut
+
+    rng = np.random.default_rng(8)
+    n = 20000
+    text = rng.integers(0, 4, n).astype(np.uint8)
+    sa = suffix_array(text)
+    fm, _ = build_fm_index(text, sa_sample=16, sa=sa)
+    for k in (4, 8, 11):
+        lut = build_kmer_lut(text, sa, k=k)
+        lut_j = (jnp.asarray(lut[0]), jnp.asarray(lut[1]))
+        L = 22
+        seeds = rng.integers(0, 4, (200, L)).astype(np.int32)
+        for i in range(0, 200, 2):
+            s = rng.integers(0, n - L)
+            seeds[i] = text[s : s + L]
+        seeds[1, L - 2] = 4  # N in tail
+        seeds[3, 0] = 4  # N in head
+        lo1, hi1 = backward_search(fm, jnp.asarray(seeds))
+        lo2, hi2 = backward_search(fm, jnp.asarray(seeds), lut=lut_j,
+                                   lut_k=k)
+        sz1 = np.asarray(hi1 - lo1)
+        sz2 = np.asarray(hi2 - lo2)
+        np.testing.assert_array_equal(sz1 > 0, sz2 > 0)
+        ne = sz1 > 0
+        np.testing.assert_array_equal(np.asarray(lo1)[ne],
+                                      np.asarray(lo2)[ne])
+        np.testing.assert_array_equal(np.asarray(hi1)[ne],
+                                      np.asarray(hi2)[ne])
+
+
+def test_mapper_with_lut_identical_results():
+    import jax.numpy as jnp
+    from nvbio_tpu.fmindex import build_fm_index
+    from nvbio_tpu.fmindex.build import build_kmer_lut
+    from nvbio_tpu.models import MapperParams
+    from nvbio_tpu.models.mapper import Mapper
+    from nvbio_tpu.strings import pack_reads
+    from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(50_000, seed=61)
+    sa = suffix_array(genome)
+    params = MapperParams(batch_size=32, sa_sample=16, max_candidates=8,
+                          lut_k=11)
+    fm, ssa = build_fm_index(genome, sa_sample=16, sa=sa)
+    lut_np = build_kmer_lut(genome, sa, k=11)
+    lut = (jnp.asarray(lut_np[0]), jnp.asarray(lut_np[1]))
+    sim = simulate_reads(genome, 32, 100, seed=62, error_rate=0.02)
+    reads, lens, quals, _ = pack_reads(
+        list(sim["seqs"].astype(np.uint8)), list(sim["quals"])
+    )
+    quals = quals.astype(np.int32)
+    m0 = Mapper(fm, ssa, genome, params=params, use_pallas=False)
+    m1 = Mapper(fm, ssa, genome, params=params, use_pallas=False, lut=lut)
+    r0 = m0.map_reads(reads, lens, quals)
+    r1 = m1.map_reads(reads, lens, quals)
+    for a, b in zip(r0, r1):
+        assert (a.aligned, a.pos, a.strand, a.cigar, a.score, a.mapq) == \
+               (b.aligned, b.pos, b.strand, b.cigar, b.score, b.mapq)
