@@ -65,17 +65,22 @@ def main(argv=None):
                         cmdline=" ".join(argv or sys.argv[1:]),
                         program="tpu_mem")
 
-    with stats.timer("total"):
+    def packed():
         for names, seqs, quals in ReadBatchIterator(args.U, args.batch):
             reads, lens, qmat, _ = pack_reads(
                 seqs, quals, max_len=args.max_read_len)
-            with stats.timer("compute"):
-                results = mapper.map_reads(reads, lens, qmat)
-            stats.observe(results)
-            with stats.timer("output"):
-                for rec in mapper.to_sam_records(
-                        names, reads, lens, qmat, results):
-                    writer.write(rec)
+            yield names, reads, lens, qmat
+
+    with stats.timer("total"):
+        # double-buffered (InputThread/ComputeThread equiv)
+        with stats.timer("compute"):
+            for names, reads, lens, qmat, results in \
+                    mapper.map_stream(packed()):
+                stats.observe(results)
+                with stats.timer("output"):
+                    for rec in mapper.to_sam_records(
+                            names, reads, lens, qmat, results):
+                        writer.write(rec)
     writer.close()
     report = stats.report(file=sys.stderr)
     if args.stats:
