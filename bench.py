@@ -61,7 +61,7 @@ def main():
     # directly into this layout, so staging is not part of the kernel
     LP8 = (LP + 7) // 8 * 8
     BAND_PAD = 32
-    LT_PAD = max(LP8 + BAND_PAD + 8, W + LT)
+    LT_PAD = max(LP8 + BAND_PAD + 16, W + LT)
     pats_t = np.full((K, LP8, NB), PAD_SYMBOL, np.int32)
     pats_t[:, :LP] = pats.transpose(0, 2, 1)
     quals_t = np.zeros((K, LP8, NB), np.int32)

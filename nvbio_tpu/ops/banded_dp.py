@@ -50,78 +50,98 @@ def _shift_up_by(x, d, fill=NEG_INF):
 
 
 def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
-                 band_w: int, BAND: int, BAND_PAD: int, TB: int):
+                 band_w: int, BAND: int, BAND_PAD: int, TB: int,
+                 cd=jnp.int32):
     """BAND = 2*band_w+1 true band cells; BAND_PAD = pow2-padded sublane
     extent.  Cells with k >= BAND are masked invalid so padding never
-    changes results."""
+    changes results.
+
+    ``cd`` is the DP compute dtype.  int16 packs two elements per
+    32-bit VPU lane slot (Mosaic (16, 128) tiling) — exact for every
+    reachable score when Lp * max_penalty stays within the headroom
+    (guarded in the wrapper); masked cells carry NEG16 and are
+    re-masked every row so they never drift toward overflow."""
     go, ge = scheme.gap_open, scheme.gap_extend
     is_local = atype == AlignmentType.LOCAL
+    NEG_VAL = NEG_INF if cd == jnp.int32 else -20000
+
+    CH = 8 if cd == jnp.int32 else 16  # sublane-aligned chunk rows
 
     def kernel(pat_ref, qual_ref, text_ref, plen_ref, tlen_ref, out_ref):
-        plen = plen_ref[0:1, :]  # (1, TB)
-        tlen = tlen_ref[0:1, :]
-        krange = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, 1), 0)
+        NEG = jnp.asarray(NEG_VAL, cd)
+        plen = plen_ref[0:1, :].astype(cd)  # (1, TB)
+        tlen = tlen_ref[0:1, :].astype(cd)
+        krange = jax.lax.broadcasted_iota(
+            jnp.int32, (BAND_PAD, TB), 0).astype(cd)
         in_band = krange < BAND
-        kk = krange * ge
-        j0 = krange - band_w
+        kk = krange * jnp.asarray(ge, cd)
+        j0 = krange - jnp.asarray(band_w, cd)
         if atype == AlignmentType.GLOBAL:
             h0 = jnp.where(
-                j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG_INF)
-            )
+                j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG)
+            ).astype(cd)
         else:
-            h0 = jnp.where(j0 >= 0, 0, NEG_INF)
-        H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG_INF).astype(jnp.int32)
+            h0 = jnp.where(j0 >= 0, 0, NEG).astype(cd)
+        H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG).astype(cd)
         H0 = jnp.broadcast_to(H0, (BAND_PAD, TB))
-        F0 = jnp.full((BAND_PAD, TB), NEG_INF, jnp.int32)
+        F0 = jnp.full((BAND_PAD, TB), NEG, cd)
         # best tracking lives in (BAND_PAD, TB) accumulators updated
         # with O(1) selects per row; the sublane reductions happen ONCE
         # after the loop (a ~25% op-count cut vs per-row reductions)
         if is_local:
-            snap0 = jnp.zeros((BAND_PAD, TB), jnp.int32)
+            snap0 = jnp.zeros((BAND_PAD, TB), cd)
         else:
-            snap0 = jnp.full((BAND_PAD, TB), NEG_INF, jnp.int32)
-        row0 = jnp.zeros((BAND_PAD, TB), jnp.int32)
+            snap0 = jnp.full((BAND_PAD, TB), NEG, cd)
+        row0 = jnp.zeros((BAND_PAD, TB), cd)
 
         def body(carry, i0, p, q, tsl):
             H, F, snapH, snapR = carry
-            j = (i0 + 1) + krange - band_w  # (BAND_PAD, 1)
+            j = krange + (i0 + 1 - band_w).astype(cd)  # (BAND_PAD, TB)
             valid = (j >= 0) & (j <= tlen) & in_band
-            mm = scheme.mismatch_min + (
+            mm = (scheme.mismatch_min + (
                 (scheme.mismatch_max - scheme.mismatch_min)
                 * jnp.minimum(q, 40)
-            ) // 40
-            is_n = (p >= 4) | (tsl >= 4)
+            ) // 40).astype(cd)
+            # comparisons in cd on full tiles so the masks carry
+            # cd-native layouts with no sublane-replication relayouts
+            t16 = tsl.astype(cd)
+            p16 = jnp.broadcast_to(p.astype(cd), t16.shape)
+            mm_b = jnp.broadcast_to(mm, t16.shape)
+            is_n = (p16 >= 4) | (t16 >= 4)
             s = jnp.where(
-                is_n, -scheme.n_penalty,
-                jnp.where(tsl == p, scheme.match, -mm),
+                is_n, jnp.asarray(-scheme.n_penalty, cd),
+                jnp.where(t16 == p16, jnp.asarray(scheme.match, cd),
+                          -mm_b),
             )
-            up_H = _shift_down(H)
-            up_F = _shift_down(F)
-            F_new = jnp.maximum(up_H - (go + ge), up_F - ge)
+            up_H = _shift_down(H, NEG)
+            up_F = _shift_down(F, NEG)
+            F_new = jnp.maximum(up_H - jnp.asarray(go + ge, cd),
+                                up_F - jnp.asarray(ge, cd))
             Hhat = jnp.maximum(H + s, F_new)
             if is_local:
                 Hhat = jnp.maximum(Hhat, 0)
-            Hhat_m = jnp.where(valid, Hhat, NEG_INF)
-            A = _shift_up_by(Hhat_m, 1) - (go + ge)
+            Hhat_m = jnp.where(valid, Hhat, NEG)
+            A = _shift_up_by(Hhat_m, 1, NEG) - jnp.asarray(go + ge, cd)
             # weighted cummax (Kogge-Stone along the band)
             Ew = A + kk
             d = 1
             while d < BAND_PAD:
-                Ew = jnp.maximum(Ew, _shift_up_by(Ew, d))
+                Ew = jnp.maximum(Ew, _shift_up_by(Ew, d, NEG))
                 d *= 2
             E_new = Ew - kk
             H_new = jnp.maximum(Hhat, E_new)
             if is_local:
                 H_new = jnp.maximum(H_new, 0)
-            H_new = jnp.where(valid, H_new, NEG_INF)
-            F_new = jnp.where(valid, F_new, NEG_INF)
+            H_new = jnp.where(valid, H_new, NEG)
+            F_new = jnp.where(valid, F_new, NEG)
 
-            row = i0 + 1
+            row = (i0 + 1).astype(cd)
             if is_local:
                 # per-cell running max; earliest row wins on ties
                 upd = (H_new > snapH) & (row <= plen)
                 snapH = jnp.where(upd, H_new, snapH)
-                snapR = jnp.where(upd, row, snapR)
+                snapR = jnp.where(upd, jnp.broadcast_to(row, snapR.shape),
+                                  snapR)
             else:
                 # snapshot the final pattern row (per-lane plen)
                 hit = row == plen  # (1, TB) broadcast
@@ -129,17 +149,17 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             return H_new, F_new, snapH, snapR
 
         def chunk(c, carry):
-            # 8-row chunks: loads start at sublane-aligned offsets (a
-            # Mosaic requirement for wide tiles) and the inner 8 rows
+            # CH-row chunks: loads start at sublane-aligned offsets (a
+            # Mosaic requirement for wide tiles) and the inner CH rows
             # are unrolled with static slices of the loaded values.
-            base = pl.multiple_of(c * 8, 8)
-            tchunk = text_ref[pl.ds(base, BAND_PAD + 8), :]
-            pchunk = pat_ref[pl.ds(base, 8), :]
-            qchunk = qual_ref[pl.ds(base, 8), :]
-            for r in range(8):
+            base = pl.multiple_of(c * CH, CH)
+            tchunk = text_ref[pl.ds(base, BAND_PAD + CH), :]
+            pchunk = pat_ref[pl.ds(base, CH), :]
+            qchunk = qual_ref[pl.ds(base, CH), :]
+            for r in range(CH):
                 carry = body(
                     carry,
-                    c * 8 + r,
+                    c * CH + r,
                     pchunk[r : r + 1, :],
                     qchunk[r : r + 1, :],
                     tchunk[r : r + BAND_PAD, :],
@@ -147,35 +167,45 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             return carry
 
         H, F, snapH, snapR = jax.lax.fori_loop(
-            0, Lp // 8, chunk, (H0, F0, snap0, row0)
+            0, Lp // CH, chunk, (H0, F0, snap0, row0)
         )
-        # final reductions over the band axis (once, not per row)
+        # final reductions over the band axis (once, not per row):
+        # widen the cd accumulators to int32 first (Mosaic has no int16
+        # reductions) and re-derive masks from int32 sources
+        snapH = snapH.astype(jnp.int32)
+        if not is_local:
+            snapH = jnp.where(snapH <= jnp.int32(NEG_VAL // 2),
+                              jnp.int32(NEG_INF), snapH)
+        snapR = snapR.astype(jnp.int32)
+        kr32 = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, TB), 0)
+        plen32 = plen_ref[0:1, :]
+        tlen32 = tlen_ref[0:1, :]
         if atype == AlignmentType.GLOBAL:
-            k_goal = tlen - plen + band_w  # (1, TB)
+            k_goal = tlen32 - plen32 + band_w  # (1, TB)
             best = jnp.max(
-                jnp.where(krange == k_goal, snapH, NEG_INF),
+                jnp.where(kr32 == k_goal, snapH, NEG_INF),
                 axis=0, keepdims=True,
             )
-            best_i = plen
+            best_i = plen32
             best_k = k_goal
         elif atype == AlignmentType.SEMI_GLOBAL:
             best = jnp.max(snapH, axis=0, keepdims=True)
             best_k = jnp.min(
-                jnp.where(snapH == best, krange, BAND_PAD),
+                jnp.where(snapH == best, kr32, BAND_PAD),
                 axis=0, keepdims=True,
             )
-            best_i = plen
+            best_i = plen32
         else:
             best = jnp.max(snapH, axis=0, keepdims=True)
             # tie-break: earliest row, then smallest k
-            key = snapR * jnp.int32(BAND_PAD) + krange
+            key = snapR * jnp.int32(BAND_PAD) + kr32
             best_key = jnp.min(
                 jnp.where(snapH == best, key, jnp.int32(1 << 30)),
                 axis=0, keepdims=True,
             )
             best_i = best_key // BAND_PAD
             best_k = best_key % BAND_PAD
-        zero_len = plen <= 0
+        zero_len = plen32 <= 0
         best = jnp.where(zero_len,
                          jnp.int32(0) if is_local else jnp.int32(NEG_INF),
                          best)
@@ -192,7 +222,8 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scheme", "atype", "band_w", "interpret", "tile"),
+    static_argnames=("scheme", "atype", "band_w", "interpret", "tile",
+                     "compute_dtype"),
 )
 def banded_score_pallas(
     patterns,  # (NB, Lp) symbols
@@ -206,6 +237,7 @@ def banded_score_pallas(
     band_w: int,
     interpret: bool = False,
     tile: int = 256,
+    compute_dtype: str = "auto",
 ):
     """Drop-in Pallas twin of ``alignment.banded_score_batch``.
 
@@ -231,7 +263,7 @@ def banded_score_pallas(
     quals_t = prep(quals, 0, Lp8).T
     # stage text so text_t[i0 + k] = text[i0 + k - w]; chunked loads
     # read up to Lp8 + BAND_PAD + 8 staged rows
-    LT_PAD = Lp8 + BAND_PAD + 8
+    LT_PAD = Lp8 + BAND_PAD + 16
     texts_p = jnp.pad(
         prep(texts, PAD_SYMBOL),
         ((0, 0), (band_w, max(0, LT_PAD - band_w - Lt))),
@@ -244,14 +276,15 @@ def banded_score_pallas(
     out = banded_score_pallas_staged(
         pats_t, quals_t, texts_t, plens_t, tlens_t,
         scheme=scheme, atype=atype, band_w=band_w,
-        interpret=interpret, tile=tile,
+        interpret=interpret, tile=tile, compute_dtype=compute_dtype,
     )
     return {k: v[:NB] for k, v in out.items()}
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scheme", "atype", "band_w", "interpret", "tile"),
+    static_argnames=("scheme", "atype", "band_w", "interpret", "tile",
+                     "compute_dtype"),
 )
 def banded_score_pallas_staged(
     pats_t,  # (Lp8, NB) int32, Lp8 % 8 == 0, pads = PAD_SYMBOL
@@ -265,6 +298,7 @@ def banded_score_pallas_staged(
     band_w: int,
     interpret: bool = False,
     tile: int = 256,
+    compute_dtype: str = "auto",
 ):
     """Pre-staged entry: callers that already hold (seq, batch)-major
     arrays (e.g. the mapper's window gather, or benchmarks staging once
@@ -275,13 +309,28 @@ def banded_score_pallas_staged(
     BAND_PAD = max(8, 1 << (BAND - 1).bit_length())
     LT_PAD = texts_t.shape[0]
     assert Lp8 % 8 == 0 and nb % tile == 0
-    assert LT_PAD >= Lp8 + BAND_PAD + 8
 
     grid = (nb // tile,)
     bspec = lambda rows: pl.BlockSpec(
         (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM
     )
-    kernel = _make_kernel(Lp8, scheme, atype, band_w, BAND, BAND_PAD, tile)
+    # int16 DP state when every reachable score fits the headroom and
+    # the tie-break key fits (LOCAL), with 16-row-aligned chunks
+    worst = scheme.gap_open + (Lp8 + BAND) * max(
+        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+        abs(scheme.match))
+    i16_ok = (worst < 9000 and Lp8 % 16 == 0
+              and (Lp8 + 1) * BAND_PAD < 24576
+              and LT_PAD >= Lp8 + BAND_PAD + 16)
+    if compute_dtype == "auto":
+        # v5e has no int16 vector comparisons ("Target does not support
+        # this comparison"); int16 stays opt-in for later generations
+        compute_dtype = "int32"
+    cd = jnp.int16 if compute_dtype == "int16" and i16_ok else jnp.int32
+    CH = 8 if cd == jnp.int32 else 16
+    assert LT_PAD >= Lp8 + BAND_PAD + CH
+    kernel = _make_kernel(Lp8, scheme, atype, band_w, BAND, BAND_PAD,
+                          tile, cd=cd)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, nb), jnp.int32),
