@@ -69,8 +69,12 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
 
     def kernel(pat_ref, qual_ref, text_ref, plen_ref, tlen_ref, out_ref):
         NEG = jnp.asarray(NEG_VAL, cd)
-        plen = plen_ref[0:1, :].astype(cd)  # (1, TB)
-        tlen = tlen_ref[0:1, :].astype(cd)
+        # materialize full tiles once: (1, TB) operands broadcast along
+        # sublanes cost a replicated relayout in every row otherwise
+        plen = jnp.broadcast_to(plen_ref[0:1, :].astype(cd),
+                                (BAND_PAD, TB))
+        tlen = jnp.broadcast_to(tlen_ref[0:1, :].astype(cd),
+                                (BAND_PAD, TB))
         krange = jax.lax.broadcasted_iota(
             jnp.int32, (BAND_PAD, TB), 0).astype(cd)
         in_band = krange < BAND
