@@ -88,7 +88,11 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
     gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
     texts = genome[gidx]
     tlens = jnp.clip(n - win_start, 0, LT)
-    score_fn = banded_score_pallas if use_pallas else banded_score_batch
+    # the rescue band spans the whole insert window (maxins+2W wide);
+    # beyond ~127 diagonals the Pallas kernel's VMEM-resident band
+    # state exceeds the 16 MB budget — the XLA twin tiles via HBM
+    score_fn = (banded_score_pallas if use_pallas and rescue_w <= 127
+                else banded_score_batch)
     res = score_fn(
         pats, mate_lens, texts, tlens, pquals,
         scheme=params.scheme, atype=params.atype, band_w=rescue_w,
@@ -257,7 +261,8 @@ class PairedMapper(Mapper):
             info.extend(pi)
         return out1, out2, info
 
-    def _map_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        """Launch forward + per-mate traceback device work (async)."""
         R = s1.shape[0]
         B = self.params.batch_size
 
@@ -279,8 +284,7 @@ class PairedMapper(Mapper):
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
         )
         nj = jnp.asarray(self.n, jnp.int32)
-        res1 = []
-        res2 = []
+        walks = []
         for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
                                    (m2, (s2p, l2p, q2p))):
             res, walk = traceback_walk_batch(
@@ -289,12 +293,19 @@ class PairedMapper(Mapper):
                 jnp.asarray(qp.astype(np.uint8)),
                 mate["win_start"], mate["strand"], params=self.params,
             )
+            walks.append((mate, res, walk))
+        return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)
+
+    def _collect_pair_chunk(self, handle):
+        (p1, p2, walks, pair, R) = handle
+        B = self.params.batch_size
+        res1, res2 = [], []
+        for (mate, res, walk), (sp, lp, qp), out in (
+                (walks[0], p1, res1), (walks[1], p2, res2)):
             fwd = dict(mate)
             fwd["second"] = jnp.full(B, NEG_INF, jnp.int32)
             fwd["has_second"] = jnp.zeros(B, bool)
-            (res1 if mate is m1 else res2).extend(
-                self._finish(sp, lp, qp, fwd, res, walk)
-            )
+            out.extend(self._finish(sp, lp, qp, fwd, res, walk))
         proper = np.asarray(pair["proper"])
         discordant = np.asarray(pair["discordant"])
         info = [
@@ -302,6 +313,34 @@ class PairedMapper(Mapper):
             for i in range(R)
         ]
         return res1[:R], res2[:R], info
+
+    def _map_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        return self._collect_pair_chunk(
+            self._dispatch_pair_chunk(s1, l1, q1, s2, l2, q2))
+
+    def map_pairs_stream(self, packed_iter, depth: int = 2):
+        """Double-buffered PE mapping over an iterator of
+        (names, s1, l1, q1, s2, l2, q2) batches (batch_size-sized);
+        yields (names, s1, l1, q1, s2, l2, q2, res1, res2, info)."""
+        from collections import deque
+
+        pending: deque = deque()
+
+        def drain():
+            nm, arrs, h = pending.popleft()
+            r1, r2, info = self._collect_pair_chunk(h)
+            return (nm, *arrs, r1, r2, info)
+
+        for names, s1, l1, q1, s2, l2, q2 in packed_iter:
+            bl = np.concatenate([l1, l2])
+            s1, q1 = self._len_bucket(s1, bl, q1)
+            s2, q2 = self._len_bucket(s2, bl, q2)
+            h = self._dispatch_pair_chunk(s1, l1, q1, s2, l2, q2)
+            pending.append((names, (s1, l1, q1, s2, l2, q2), h))
+            while len(pending) >= depth:
+                yield drain()
+        while pending:
+            yield drain()
 
     def to_sam_records_pe(self, names, s1, l1, q1, s2, l2, q2,
                           res1, res2, info):

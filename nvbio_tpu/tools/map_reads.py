@@ -140,22 +140,29 @@ def main(argv=None):
                                 names, reads, lens, qmat, results):
                             writer.write(rec)
         else:
-            it1 = FastqBatchReader(args.m1, args.batch)
-            it2 = FastqBatchReader(args.m2, args.batch)
-            for (n1, s1, q1), (n2, s2, q2) in zip(it1, it2):
-                r1, l1, qm1, _ = pack_reads(s1, q1, max_len=args.max_read_len)
-                r2, l2, qm2, _ = pack_reads(s2, q2, max_len=args.max_read_len)
-                with stats.timer("compute"):
-                    res1, res2, info = mapper.map_pairs(
-                        r1, l1, qm1, r2, l2, qm2)
-                stats.observe(res1)
-                stats.observe(res2)
-                stats.proper_pairs += sum(i["proper"] for i in info)
-                stats.discordant += sum(i["discordant"] for i in info)
-                with stats.timer("output"):
-                    for rec in mapper.to_sam_records_pe(
-                            n1, r1, l1, qm1, r2, l2, qm2, res1, res2, info):
-                        writer.write(rec)
+            # double-buffered PE path (ComputeThreadPE equivalent)
+            def packed_pe():
+                it1 = FastqBatchReader(args.m1, args.batch)
+                it2 = FastqBatchReader(args.m2, args.batch)
+                for (n1, s1, q1), (n2, s2, q2) in zip(it1, it2):
+                    r1, l1, qm1, _ = pack_reads(
+                        s1, q1, max_len=args.max_read_len)
+                    r2, l2, qm2, _ = pack_reads(
+                        s2, q2, max_len=args.max_read_len)
+                    yield n1, r1, l1, qm1, r2, l2, qm2
+
+            with stats.timer("compute"):
+                for (n1, r1, l1, qm1, r2, l2, qm2, res1, res2,
+                     info) in mapper.map_pairs_stream(packed_pe()):
+                    stats.observe(res1)
+                    stats.observe(res2)
+                    stats.proper_pairs += sum(i["proper"] for i in info)
+                    stats.discordant += sum(i["discordant"] for i in info)
+                    with stats.timer("output"):
+                        for rec in mapper.to_sam_records_pe(
+                                n1, r1, l1, qm1, r2, l2, qm2,
+                                res1, res2, info):
+                            writer.write(rec)
     writer.close()
     report = stats.report(file=sys.stderr)
     if args.stats:
