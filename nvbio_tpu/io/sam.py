@@ -59,8 +59,11 @@ class SamWriter:
     """Streaming SAM text writer (plain or .gz)."""
 
     def __init__(self, path, ref_names, ref_lens, program="tpu_bowtie",
-                 version="0.1.0", cmdline=""):
+                 version="0.1.0", cmdline="", append=False):
         path = str(path)
+        if append:  # shard-restart resume: keep the existing header
+            self._f = open(path, "a")
+            return
         self._f = gzip.open(path, "wt") if path.endswith(".gz") else open(
             path, "w"
         )

@@ -44,7 +44,16 @@ def main(argv=None):
                    help="total input shards (multi-host: one per host)")
     p.add_argument("--shard-id", type=int, default=0,
                    help="this process's shard index")
+    p.add_argument("--resume", action="store_true",
+                   help="restart an interrupted run: skip reads already "
+                   "present in the output SAM and append (the batch-"
+                   "restartable elastic story; plain .sam only)")
+    p.add_argument("--xprof", metavar="DIR",
+                   help="write a JAX profiler trace of the mapping loop")
     args = p.parse_args(argv)
+    if args.resume and (args.sam.endswith(".gz")
+                        or args.sam.endswith(".bam") or args.m1):
+        p.error("--resume supports unpaired plain .sam output")
     if not args.U and not (args.m1 and args.m2):
         p.error("need -U or -1/-2")
 
@@ -86,11 +95,19 @@ def main(argv=None):
                  use_pallas=False if args.cpu else None,
                  lut=meta.get("lut"))
     stats = MappingStats()
+    import os
+    n_done = 0
+    if args.resume and os.path.exists(args.sam):
+        with open(args.sam) as f:
+            n_done = sum(1 for l in f if not l.startswith("@"))
+        print(f"[map_reads] resume: {n_done} records already written",
+              file=sys.stderr)
     writer_cls = SamWriter
     if args.sam.endswith(".bam"):
         from ..io.bam import BamWriter as writer_cls
     writer = writer_cls(args.sam, meta["contig_names"], meta["contig_lens"],
-                        cmdline=" ".join(argv or sys.argv[1:]))
+                        cmdline=" ".join(argv or sys.argv[1:]),
+                        **({"append": True} if n_done else {}))
 
     def batches(path):
         """Input batches, optionally restricted to this host's shard
@@ -107,12 +124,26 @@ def main(argv=None):
             yield names[sl], seqs[sl], quals[sl]
 
     def packed(path):
+        skip = n_done
         for names, seqs, quals in batches(path):
+            if skip >= len(names):  # whole batch already mapped
+                skip -= len(names)
+                continue
+            if skip:
+                names, seqs, quals = (names[skip:], seqs[skip:],
+                                      quals[skip:])
+                skip = 0
             reads, lens, qmat, _ = pack_reads(
                 seqs, quals, max_len=args.max_read_len)
             yield names, reads, lens, qmat
 
-    with stats.timer("total"):
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.xprof:
+        import jax
+
+        prof = jax.profiler.trace(args.xprof)
+    with prof, stats.timer("total"):
         if args.U and args.all_hits:
             from ..models.mapper import MapResult
 

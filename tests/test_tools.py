@@ -181,3 +181,38 @@ def test_txt_and_fasta_read_input(tmp_path):
     (names, seqs, _), = list(ReadBatchIterator(str(fa), 10))
     assert names == ["a", "b"]
     assert decode_dna(seqs[1]) == "GGGG"
+
+
+def test_map_reads_resume(tmp_path):
+    """--resume: interrupt after half the reads, restart, output equals
+    an uninterrupted run (batch-restartable elastic story)."""
+    import numpy as np
+    from nvbio_tpu.io.fasta import write_fasta
+    from nvbio_tpu.io.fastq import write_fastq
+    from nvbio_tpu.tools.build_index import main as build
+    from nvbio_tpu.tools.map_reads import main as mapr
+    from nvbio_tpu.utils.simulate import random_genome, simulate_reads
+
+    genome = random_genome(50_000, seed=97)
+    sim = simulate_reads(genome, 50, 80, seed=98)
+    write_fasta(str(tmp_path / "g.fa"), [("c", genome)])
+    recs = [(f"r{i}", sim["seqs"][i].astype(np.uint8), sim["quals"][i])
+            for i in range(50)]
+    write_fastq(str(tmp_path / "r.fq"), recs)
+    build([str(tmp_path / "g.fa"), str(tmp_path / "g.npz")])
+
+    full = tmp_path / "full.sam"
+    mapr(["-x", str(tmp_path / "g.npz"), "-U", str(tmp_path / "r.fq"),
+          "-S", str(full), "--cpu", "--batch", "10"])
+
+    # simulate an interrupted run: first 30 reads only
+    write_fastq(str(tmp_path / "r30.fq"), recs[:30])
+    part = tmp_path / "part.sam"
+    mapr(["-x", str(tmp_path / "g.npz"), "-U", str(tmp_path / "r30.fq"),
+          "-S", str(part), "--cpu", "--batch", "10"])
+    # resume against the full input
+    mapr(["-x", str(tmp_path / "g.npz"), "-U", str(tmp_path / "r.fq"),
+          "-S", str(part), "--cpu", "--batch", "10", "--resume"])
+
+    strip = lambda p: [l for l in open(p) if not l.startswith("@")]
+    assert strip(part) == strip(full)
