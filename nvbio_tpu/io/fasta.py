@@ -7,7 +7,6 @@ nvBWT for the genome).
 from __future__ import annotations
 
 import gzip
-from pathlib import Path
 
 import numpy as np
 

@@ -8,7 +8,6 @@ InputThread (ref: nvBowtie/bowtie2/cuda/input_thread.cpp).
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass
 
 import numpy as np
 

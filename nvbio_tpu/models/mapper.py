@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..alignment import banded_score_batch, banded_directions_batch
-from ..alignment.cigar import traceback_banded, cigar_to_string, make_md_string
+from ..alignment.cigar import cigar_to_string, make_md_string
 from ..alignment.types import NEG_INF, AlignmentType
 from ..fmindex import FMIndex, SSA, backward_search, locate
 from ..ops.banded_dp import banded_score_pallas
