@@ -1,0 +1,108 @@
+"""Sharded FM-index: references beyond the int32 / single-HBM budget.
+
+The per-shard FM-index keeps the fast int32 layout (TPU gathers are
+32-bit-friendly; fmindex/index.py); genomes larger than ~2 Gbp (e.g.
+hg38's 3.1 Gbp) are split into S shards, each indexed independently
+over its slice plus an `overlap` tail so alignments crossing a shard
+boundary are found in the left shard.  Mapping runs the shared
+candidate stage against every shard (genome stays ONE global array;
+only windows are gathered with the shard offset) and a cross-shard
+reduction picks best/second-best per read, de-duplicating candidates
+the overlap makes visible to two shards.
+
+This also doubles as the multi-chip index-sharding story (SURVEY.md
+§5.8): each shard can live on a different chip of a mesh with the read
+batch broadcast, scores reduced with one `jnp.maximum` tree — the same
+reduction implemented here on one chip.
+
+No reference equivalent (nvbio is single-GPU, 32-bit indexes with the
+same ~2 Gbp ceiling; hg38 forward+reverse is handled there by two
+separate indexes — the same idea, generalized).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .build import build_fm_index, build_kmer_lut
+from ..sufsort import suffix_array
+
+
+class ShardedIndex:
+    """List of (fm, ssa, lut, start, length) over one global genome."""
+
+    def __init__(self, shards, n_total, sa_sample, lut_k):
+        self.shards = shards  # [(fm, ssa, lut_or_None, start, length)]
+        self.n_total = int(n_total)
+        self.sa_sample = int(sa_sample)
+        self.lut_k = int(lut_k)
+
+
+def build_sharded_index(symbols: np.ndarray, shard_bp: int,
+                        overlap: int = 1024, sa_sample: int = 16,
+                        lut_k: int = 11) -> ShardedIndex:
+    """Split `symbols` into ceil(n/shard_bp) shards (each extended by
+    `overlap` into the next) and build per-shard indexes."""
+    n = len(symbols)
+    shards = []
+    start = 0
+    while start < n:
+        end = min(start + shard_bp, n)
+        seg_end = min(end + overlap, n)
+        seg = np.ascontiguousarray(symbols[start:seg_end])
+        sa = suffix_array(seg)
+        fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa)
+        lut = None
+        if lut_k > 0:
+            lo, hi = build_kmer_lut(seg, sa, k=lut_k)
+            lut = (jnp.asarray(lo), jnp.asarray(hi))
+        shards.append((fm, ssa, lut, start, seg_end - start))
+        start = end
+    return ShardedIndex(shards, n, sa_sample, lut_k)
+
+
+def save_sharded_index(prefix: str, idx: ShardedIndex, genome, contig_names,
+                       contig_lens):
+    """Writes <prefix>.manifest.json + one .npz per shard + genome."""
+    from ..io.index_file import save_index
+
+    man = {
+        "n_total": idx.n_total,
+        "sa_sample": idx.sa_sample,
+        "lut_k": idx.lut_k,
+        "contig_names": list(contig_names),
+        "contig_lens": [int(x) for x in contig_lens],
+        "shards": [],
+    }
+    np.save(prefix + ".genome.npy", np.asarray(genome, dtype=np.int8))
+    for i, (fm, ssa, lut, start, length) in enumerate(idx.shards):
+        path = f"{prefix}.shard{i}.npz"
+        save_index(path, fm, ssa, np.zeros(0, np.int8), [], [],
+                   idx.sa_sample, lut=lut, lut_k=idx.lut_k)
+        man["shards"].append({
+            "file": os.path.basename(path), "start": int(start),
+            "length": int(length),
+        })
+    with open(prefix + ".manifest.json", "w") as f:
+        json.dump(man, f)
+
+
+def load_sharded_index(prefix: str):
+    """Returns (ShardedIndex, genome int8 np array, meta dict)."""
+    from ..io.index_file import load_index
+
+    with open(prefix + ".manifest.json") as f:
+        man = json.load(f)
+    d = os.path.dirname(os.path.abspath(prefix + ".manifest.json"))
+    shards = []
+    for s in man["shards"]:
+        fm, ssa, _g, meta = load_index(os.path.join(d, s["file"]))
+        shards.append((fm, ssa, meta.get("lut"), s["start"], s["length"]))
+    genome = np.load(prefix + ".genome.npy")
+    idx = ShardedIndex(shards, man["n_total"], man["sa_sample"],
+                       man["lut_k"])
+    return idx, genome, man

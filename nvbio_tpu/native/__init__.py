@@ -271,7 +271,7 @@ def ops_batch_native(ops, p_start, t_start, aligned, pats, plens,
     cig_offs = np.zeros(R + 1, dtype=np.int64)
     md_offs = np.zeros(R + 1, dtype=np.int64)
     nm = np.zeros(R, dtype=np.int32)
-    pos = np.zeros(R, dtype=np.int32)
+    pos = np.zeros(R, dtype=np.int64)
     span = np.zeros(R, dtype=np.int32)
     c = ctypes
     r = L.ops_batch(
@@ -291,7 +291,7 @@ def ops_batch_native(ops, p_start, t_start, aligned, pats, plens,
         md_blob.ctypes.data_as(c.POINTER(c.c_char)), c.c_long(md_cap),
         md_offs.ctypes.data_as(c.POINTER(c.c_longlong)),
         nm.ctypes.data_as(c.POINTER(c.c_int)),
-        pos.ctypes.data_as(c.POINTER(c.c_int)),
+        pos.ctypes.data_as(c.POINTER(c.c_longlong)),
         span.ctypes.data_as(c.POINTER(c.c_int)),
     )
     if r != 0:

@@ -101,7 +101,7 @@ extern "C" long ops_batch(
     const int8_t* genome, const long long* win_start, int global_mode,
     char* cig_blob, long cig_cap, long long* cig_offs,
     char* md_blob, long md_cap, long long* md_offs,
-    int32_t* nm_out, int32_t* pos_out, int32_t* refspan_out) {
+    int32_t* nm_out, long long* pos_out, int32_t* refspan_out) {
   std::vector<char> rev, cig, md;
   long cig_w = 0, md_w = 0;
   cig_offs[0] = 0;
@@ -124,7 +124,7 @@ extern "C" long ops_batch(
       build_strings(rev, p_start[r], ts, plens[r],
                     pats + r * Lp, genome + win_start[r], global_mode,
                     cig, md, &nm_out[r], &refspan_out[r]);
-      pos_out[r] = (int32_t)(win_start[r] + (global_mode && ts > 0 ? 0 : ts));
+      pos_out[r] = win_start[r] + (global_mode && ts > 0 ? 0 : ts);
     }
     if (cig_w + (long)cig.size() > cig_cap) return -1;
     if (md_w + (long)md.size() > md_cap) return -2;

@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--pac", help="also write a BWA-layout .pac here")
     p.add_argument("--lut-k", type=int, default=11,
                    help="seed-tail k-mer LUT width (0 = none)")
+    p.add_argument("--shard-bp", type=int, default=0,
+                   help="build a SHARDED index with this many bp per "
+                   "shard (for >2 Gbp references; writes "
+                   "<output>.manifest.json + per-shard files)")
+    p.add_argument("--shard-overlap", type=int, default=1024)
     p.add_argument("--algorithm", choices=["auto", "sais", "pd", "device"],
                    default="auto",
                    help="suffix sort: native C++ SA-IS (any size), NumPy "
@@ -43,6 +48,21 @@ def main(argv=None):
     print(f"[build_index] {len(records)} contigs, "
           f"{len(g['symbols'])} bp, {len(g['amb'])} ambiguity runs",
           file=sys.stderr)
+    if args.shard_bp > 0:
+        from ..fmindex.sharded import (build_sharded_index,
+                                       save_sharded_index)
+        prefix = args.output[:-4] if args.output.endswith(".npz") \
+            else args.output
+        sidx = build_sharded_index(
+            g["symbols"], shard_bp=args.shard_bp,
+            overlap=args.shard_overlap, sa_sample=args.sa_sample,
+            lut_k=args.lut_k)
+        save_sharded_index(prefix, sidx, g["symbols"].astype("int8"),
+                           g["names"], g["lens"])
+        print(f"[build_index] wrote {len(sidx.shards)}-shard index "
+              f"{prefix}.manifest.json in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return 0
     sa = None
     if args.algorithm == "auto" and args.lut_k > 0:
         from ..sufsort import suffix_array

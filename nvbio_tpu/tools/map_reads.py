@@ -69,7 +69,27 @@ def main(argv=None):
     from ..strings import pack_reads
     from ..utils.stats import MappingStats
 
-    fm, ssa, genome, meta = load_index(args.index)
+    # sharded index? (-x may be a manifest prefix or the .json itself)
+    import os as _os
+    _prefix = args.index
+    if _prefix.endswith(".manifest.json"):
+        _prefix = _prefix[: -len(".manifest.json")]
+    if _os.path.exists(_prefix + ".manifest.json"):
+        if args.m1:
+            p.error("sharded indexes support unpaired (-U) mapping")
+        from ..fmindex.sharded import load_sharded_index
+        from ..models.sharded_mapper import ShardedMapper
+
+        sidx, genome_np, man = load_sharded_index(_prefix)
+        meta = {"sa_sample": man["sa_sample"], "lut_k": man["lut_k"],
+                "contig_names": man["contig_names"],
+                "contig_lens": man["contig_lens"]}
+        fm = ssa = None
+        genome = genome_np.astype(np.uint8)
+        sharded = True
+    else:
+        fm, ssa, genome, meta = load_index(args.index)
+        sharded = False
     params = MapperParams(
         seed_len=args.seed_len,
         seed_interval=args.seed_interval,
@@ -89,10 +109,17 @@ def main(argv=None):
         ).astype(np.int64),
         "lens": np.array(meta["contig_lens"], dtype=np.int64),
     }
-    cls = PairedMapper if args.m1 else Mapper
-    mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
-                 use_pallas=False if args.cpu else None,
-                 lut=meta.get("lut"))
+    if sharded:
+        from ..models.sharded_mapper import ShardedMapper
+
+        mapper = ShardedMapper(sidx, genome, params=params,
+                               contigs=contigs,
+                               use_pallas=False if args.cpu else None)
+    else:
+        cls = PairedMapper if args.m1 else Mapper
+        mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
+                     use_pallas=False if args.cpu else None,
+                     lut=meta.get("lut"))
     stats = MappingStats()
     import os
     n_done = 0
