@@ -174,3 +174,7 @@ class ShardedMapper(Mapper):
         fwd2["win_start"] = (starts[shard]
                              + np.asarray(fwd["win_start"]).astype(np.int64))
         return self._finish(seqs, lens, quals, fwd2, None, walk)[:R]
+
+    def map_reads_all(self, *a, **k):
+        raise NotImplementedError(
+            "--all mode is not yet supported on sharded indexes")
