@@ -62,3 +62,27 @@ def test_pallas_matches_xla(scheme, atype):
     np.testing.assert_array_equal(
         np.asarray(got["t_end"])[ok], np.asarray(ref["t_end"])[ok]
     )
+
+
+def test_pallas_int16_opt_in_matches_xla():
+    """The int16 compute-dtype variant (opt-in; for TPU generations
+    with int16 vector compares) must match the XLA twin on reachable
+    scores."""
+    scheme, atype = GotohScheme(), AlignmentType.SEMI_GLOBAL
+    pats, plens, quals, texts, tlens = _random_batch(99)
+    args = (
+        jnp.asarray(pats), jnp.asarray(plens),
+        jnp.asarray(texts), jnp.asarray(tlens), jnp.asarray(quals),
+    )
+    ref = banded_score_batch(
+        *args, scheme=scheme, atype=atype, band_w=BAND_W
+    )
+    got = banded_score_pallas(
+        *args, scheme=scheme, atype=atype, band_w=BAND_W,
+        interpret=True, compute_dtype="int16",
+    )
+    score_ref = np.asarray(ref["score"])
+    score_got = np.asarray(got["score"])
+    ok = score_ref > -(1 << 29)
+    np.testing.assert_array_equal(score_got[ok], score_ref[ok])
+    assert (score_got[~ok] <= -(1 << 29)).all()
