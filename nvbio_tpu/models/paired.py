@@ -232,9 +232,13 @@ def pe_map_batch(
 
     return (
         {"aligned": a1 & (l1 > 0), "strand": st1f, "win_start": ws1,
-         "score": sc1, "mapq": jnp.where(a1, mq1, 0)},
+         "score": sc1, "mapq": jnp.where(a1, mq1, 0),
+         "second": se1["second"],
+         "has_second": se1["second"] > NEG_INF // 2},
         {"aligned": a2 & (l2 > 0), "strand": st2f, "win_start": ws2,
-         "score": sc2, "mapq": jnp.where(a2, mq2, 0)},
+         "score": sc2, "mapq": jnp.where(a2, mq2, 0),
+         "second": se2["second"],
+         "has_second": se2["second"] > NEG_INF // 2},
         {"proper": proper, "discordant": discordant & ~proper},
     )
 
@@ -298,14 +302,12 @@ class PairedMapper(Mapper):
 
     def _collect_pair_chunk(self, handle):
         (p1, p2, walks, pair, R) = handle
-        B = self.params.batch_size
         res1, res2 = [], []
         for (mate, res, walk), (sp, lp, qp), out in (
                 (walks[0], p1, res1), (walks[1], p2, res2)):
-            fwd = dict(mate)
-            fwd["second"] = jnp.full(B, NEG_INF, jnp.int32)
-            fwd["has_second"] = jnp.zeros(B, bool)
-            out.extend(self._finish(sp, lp, qp, fwd, res, walk))
+            # per-mate XS = the mate's own second-best candidate score
+            # (ref: nvBowtie reduce_inl.h best2 per mate; SE semantics)
+            out.extend(self._finish(sp, lp, qp, dict(mate), res, walk))
         proper = np.asarray(pair["proper"])
         discordant = np.asarray(pair["discordant"])
         info = [
@@ -392,6 +394,8 @@ class PairedMapper(Mapper):
                     tlen = -tlen
         tags = [("AS", "i", mine.score), ("NM", "i", mine.nm),
                 ("MD", "Z", mine.md)]
+        if mine.second is not None:
+            tags.insert(1, ("XS", "i", mine.second))
         return S.SamRecord(name, flag, rname, lpos + 1,
                            mine.mapq, mine.cigar, seq_str, qual_str,
                            rnext=rnext, pnext=pnext, tlen=tlen, tags=tags)

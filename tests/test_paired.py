@@ -73,6 +73,47 @@ def test_paired_sam_flags(pmapper):
             assert r1.rnext == "=" and r2.rnext == "="
 
 
+def test_paired_xs_and_ambiguous_mapq():
+    """Mates landing in a duplicated segment must carry XS (their own
+    second-best, ref: reduce_inl.h best2 per mate) and a low pair-aware
+    MAPQ; unique mates must have neither."""
+    g0 = random_genome(60_000, seed=23)
+    genome = np.concatenate([g0, g0[:20_000]])  # exact duplicate
+    params = MapperParams(batch_size=N_PAIRS, sa_sample=16,
+                          max_candidates=8, minins=0, maxins=400)
+    fm, ssa = build_fm_index(genome, sa_sample=params.sa_sample)
+    m = PairedMapper(fm, ssa, genome, params=params)
+    rng = np.random.default_rng(3)
+    ins = 250
+    # half the pairs from the duplicated prefix, half from unique middle
+    starts = np.concatenate([
+        rng.integers(0, 20_000 - ins - READ_LEN, N_PAIRS // 2),
+        rng.integers(25_000, 55_000 - ins - READ_LEN, N_PAIRS // 2),
+    ])
+    r1 = np.stack([genome[s:s + READ_LEN] for s in starts])
+    r2f = np.stack([genome[s + ins - READ_LEN:s + ins] for s in starts])
+    r2 = np.where(r2f < 4, 3 - r2f, r2f)[:, ::-1].astype(r2f.dtype)
+    q = np.full((N_PAIRS, READ_LEN), 35, np.uint8)
+    lens = np.full(N_PAIRS, READ_LEN, np.int32)
+    res1, res2, info = m.map_pairs(r1, lens, q, r2, lens, q)
+    names = [f"p{i}" for i in range(N_PAIRS)]
+    recs = m.to_sam_records_pe(names, r1, lens, q, r2, lens, q,
+                               res1, res2, info)
+    dup = {f"p{i}" for i in range(N_PAIRS // 2)}
+    for r in recs:
+        if r.flag & 0x4:
+            continue
+        has_xs = any(t[0] == "XS" for t in r.tags)
+        if r.qname in dup:
+            assert has_xs, f"{r.qname}: dup-region mate missing XS"
+            xs = next(v for k, _, v in r.tags if k == "XS")
+            as_ = next(v for k, _, v in r.tags if k == "AS")
+            assert xs == as_  # exact duplicate: tied second-best
+            assert r.mapq <= 3, f"ambiguous mate mapq={r.mapq}"
+        else:
+            assert not has_xs and r.mapq >= 20
+
+
 def test_rescue_recovers_mate(pmapper):
     """Corrupt mate2's seeds so only rescue can place it."""
     m, genome = pmapper
