@@ -25,8 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import math
+
 from ..alignment import banded_score_batch
-from ..alignment.types import NEG_INF
+from ..alignment.types import AlignmentType, NEG_INF
 from ..ops.banded_dp import banded_score_pallas
 from .params import MapperParams
 from .mapper import (
@@ -64,6 +66,87 @@ def _se_reduce(c, lens, params):
     }
 
 
+def _chunk_plan(L: int, LT: int, params):
+    """Static plan for chunked window rescue: cover the insert window
+    with overlapping band-63 sub-windows on the fast narrow-band Pallas
+    kernel instead of one window-wide band (which maps poorly to the
+    sublane axis — measured slower than the XLA twin past ~500
+    diagonals).
+
+    Exactness: an alignment reported by rescue must score >= score-min,
+    which bounds its total gap extension T <= (perfect - smin - go)/ge.
+    A chunk with text origin b holds alignments starting at global
+    position s >= b with start diagonal j0 = s - b <= w_c; the path
+    drifts at most T, so it stays in band whenever j0 <= w_c - T.
+    Chunk origins every sigma = w_c - T therefore cover every
+    above-threshold alignment exactly as the full-width band does;
+    sub-threshold scores may differ but are never consumed (rescue
+    gates on score >= smin).
+    Returns (w_c, CW, origins) or None when the margin is too thin
+    (e.g. LOCAL's match bonus makes T large)."""
+    if params.atype != AlignmentType.SEMI_GLOBAL:
+        return None
+    w_c = 63
+    smin = math.ceil(params.score_min_a + params.score_min_b * L)
+    budget = L * params.scheme.match - smin
+    t_aff = (budget - params.scheme.gap_open) // params.scheme.gap_extend
+    margin = w_c - int(t_aff)
+    if margin < 12:
+        return None
+    sigma = margin
+    # cover alignment starts in [0, rescue_w] — the same row-0 reach as
+    # the window-wide band (the window is gathered 2*rescue_w + L wide
+    # but starts beyond rescue_w are out of insert range by definition)
+    s_max = (LT - L) // 2
+    n_chunks = max(1, math.ceil((s_max + 1) / sigma))
+    origins = tuple(c * sigma for c in range(n_chunks))
+    CW = L + w_c + 8  # max text consumed by a band-w_c semi-global
+    return w_c, CW, origins
+
+
+def _chunked_window_score(pats, lens, texts, tlens, quals, params, plan,
+                          use_pallas=True, interpret=False):
+    """Window-wide best semi-global alignment via overlapping
+    narrow-band chunks (see _chunk_plan).  Runs on the Pallas kernel or
+    its XLA twin — both engines share the chunk plan, so CPU and TPU
+    rescues are bit-identical (window-edge clipping included)."""
+    R, L = pats.shape
+    LT = texts.shape[1]
+    w_c, CW, origins = plan
+    C = len(origins)
+    bs = jnp.asarray(origins, jnp.int32)
+    texts_p = jnp.pad(
+        texts, ((0, 0), (0, max(0, origins[-1] + CW - LT))),
+        constant_values=PAD,
+    )
+    # (R, C, CW) -> (R*C, CW); read-major so lane r*C+c is read r chunk c
+    tc = jnp.stack(
+        [texts_p[:, b:b + CW] for b in origins], axis=1
+    ).reshape(R * C, CW)
+    tlc = jnp.clip(tlens[:, None] - bs[None, :], 0, CW).reshape(R * C)
+    rep = lambda a: jnp.repeat(a, C, axis=0)
+    if use_pallas:
+        res = banded_score_pallas(
+            rep(pats), rep(lens), tc, tlc, rep(quals),
+            scheme=params.scheme, atype=params.atype, band_w=w_c,
+            interpret=interpret,
+        )
+    else:
+        res = banded_score_batch(
+            rep(pats), rep(lens), tc, tlc, rep(quals),
+            scheme=params.scheme, atype=params.atype, band_w=w_c,
+        )
+    sc = res["score"].reshape(R, C)
+    te = (res["t_end"].reshape(R, C) + bs[None, :])
+    best = jnp.max(sc, axis=1)
+    # tie-break = smallest global t_end among best chunks (the twin's
+    # smallest-k rule at window scale)
+    t_end = jnp.min(jnp.where(sc == best[:, None], te, jnp.int32(1 << 30)),
+                    axis=1)
+    t_end = jnp.where(best > NEG_INF // 2, t_end, 0)
+    return {"score": best, "t_end": t_end, "p_end": lens}
+
+
 def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
             mate_lens, mate_quals, params, use_pallas):
     """Opposite-mate window search: semi-global DP of the mate (in the
@@ -88,15 +171,22 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
     gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
     texts = genome[gidx]
     tlens = jnp.clip(n - win_start, 0, LT)
-    # the rescue band spans the whole insert window (maxins+2W wide);
-    # beyond ~127 diagonals the Pallas kernel's VMEM-resident band
-    # state exceeds the 16 MB budget — the XLA twin tiles via HBM
-    score_fn = (banded_score_pallas if use_pallas and rescue_w <= 127
-                else banded_score_batch)
-    res = score_fn(
-        pats, mate_lens, texts, tlens, pquals,
-        scheme=params.scheme, atype=params.atype, band_w=rescue_w,
-    )
+    # the rescue window (maxins+2W of start positions) is covered with
+    # overlapping narrow-band chunks on both engines (see _chunk_plan)
+    # so CPU and TPU rescues are bit-identical and the hot path rides
+    # the Pallas kernel; window-wide band only when no plan (LOCAL)
+    plan = _chunk_plan(L, LT, params)
+    if plan is not None:
+        res = _chunked_window_score(pats, mate_lens, texts, tlens,
+                                    pquals, params, plan,
+                                    use_pallas=use_pallas)
+    else:
+        score_fn = (banded_score_pallas if use_pallas and rescue_w <= 127
+                    else banded_score_batch)
+        res = score_fn(
+            pats, mate_lens, texts, tlens, pquals,
+            scheme=params.scheme, atype=params.atype, band_w=rescue_w,
+        )
     # tighten the window to the found alignment so the winners-only
     # traceback (band_w-banded) sees it near diagonal 0
     ws_tight = jnp.clip(

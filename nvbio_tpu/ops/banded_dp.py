@@ -33,6 +33,34 @@ from jax.experimental.pallas import tpu as pltpu
 from ..alignment.types import AlignmentType, GotohScheme, NEG_INF
 
 PAD_SYMBOL = 7
+# Sentinel semantics (int32 body): text symbol 7 scores SENT_S against
+# every pattern symbol.  Cells outside the valid (j in [0, tlen]) region
+# therefore decay by ~SENT_S per row from their NEG init and can never
+# re-enter the reachable score range; any output below SCORE_FLOOR is
+# reported as NEG_INF ("no path").  This removes every per-row bounds
+# mask from the hot loop (see _make_kernel32 docstring for the proof
+# sketch).
+SENT_S = 1 << 20
+SCORE_FLOOR = -(1 << 19)
+
+
+def _band_pad(BAND: int) -> int:
+    """Sublane extent of the band state.  Multiple of 8 is all Mosaic
+    needs; the Kogge-Stone scan (steps d = 1,2,4,... < BAND_PAD) is
+    exact for any length, so wide bands (PE insert-window rescue) pay
+    BAND rounded up to 8, not to a power of two."""
+    return max(8, (BAND + 7) // 8 * 8)
+
+
+def _auto_tile(BAND_PAD: int, Lp8: int, tile: int) -> int:
+    """Shrink the lane tile for wide bands so the VMEM working set
+    (state + staged text, double-buffered inputs) stays under budget."""
+    while tile > 128:
+        rows = 7 * BAND_PAD + 3 * Lp8 + BAND_PAD + 16
+        if rows * tile * 4 <= 8 * 1024 * 1024:
+            break
+        tile //= 2
+    return tile
 
 
 def _shift_down(x, fill=NEG_INF):
@@ -49,9 +77,9 @@ def _shift_up_by(x, d, fill=NEG_INF):
     )
 
 
-def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
-                 band_w: int, BAND: int, BAND_PAD: int, TB: int,
-                 cd=jnp.int32):
+def _make_kernel_masked(Lp: int, scheme: GotohScheme, atype: AlignmentType,
+                        band_w: int, BAND: int, BAND_PAD: int, TB: int,
+                        cd=jnp.int16):
     """BAND = 2*band_w+1 true band cells; BAND_PAD = pow2-padded sublane
     extent.  Cells with k >= BAND are masked invalid so padding never
     changes results.
@@ -224,6 +252,180 @@ def _make_kernel(Lp: int, scheme: GotohScheme, atype: AlignmentType,
     return kernel
 
 
+def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
+                   band_w: int, BAND: int, BAND_PAD: int, TB: int):
+    """int32 body with sentinel-staged bounds (no per-row masks).
+
+    Inputs are pre-transformed by the wrapper:
+      - ``pm``: pattern symbols with N/pad rows remapped to 9 (never
+        equals any text symbol), so p-vs-N handling is free;
+      - ``mis``: per-(row, lane) mismatch penalty with the quality
+        function and pattern-N folded in (the //40 quality math leaves
+        the hot loop);
+      - ``text``: staged rows with j < 0 and j > tlen regions holding
+        SENT (=PAD_SYMBOL); real in-text N symbols are 4..6.
+
+    Exactness argument (vs the masked XLA twin):
+      * j < 0 region: diagonal/E moves into column j<=0 read SENT text
+        (score -SENT_S) and are dominated away; the F (vertical-gap)
+        chain within column j = 0 uses no text and reproduces the
+        twin's boundary column exactly.
+      * j > tlen region: every dependency path from an invalid column
+        back into a valid one would need j to decrease along a row or
+        column step, which the recurrences cannot do; invalid columns
+        start from NEG-masked inits (H0) or -SENT_S substitutions and
+        stay below SCORE_FLOOR forever (int32 drift bounded: Lp8 *
+        (SENT_S + max_penalty) added to NEG_INF stays above INT32_MIN,
+        guarded in the wrapper).
+      * k >= BAND padding sublanes would widen the band via the E scan,
+        so H keeps a single constant-tile in_band mask per row (1 op).
+      * LOCAL's zero floor pins invalid cells at exactly 0; with only
+        -SENT_S substitutions available they can never grow, so they
+        tie at best == 0 but never win a positive alignment.  Sink
+        positions are therefore defined only for score > 0 (callers
+        already require score >= score-min > 0).
+    Outputs below SCORE_FLOOR are clamped to NEG_INF.
+    """
+    go, ge = scheme.gap_open, scheme.gap_extend
+    is_local = atype == AlignmentType.LOCAL
+    cd = jnp.int32
+    CH = 8
+
+    def kernel(pm_ref, mis_ref, text_ref, plen_ref, tlen_ref, out_ref):
+        NEG = jnp.asarray(NEG_INF, cd)
+        krange = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, TB), 0)
+        in_band = krange < BAND
+        kk = krange * ge
+        # E-scan constant: A = shift(Hhat) + (kk - go - ge)
+        ksub = kk - (go + ge)
+        j0 = krange - band_w
+        tlen = jnp.broadcast_to(tlen_ref[0:1, :], (BAND_PAD, TB))
+        if atype == AlignmentType.GLOBAL:
+            h0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG))
+        else:
+            h0 = jnp.where(j0 >= 0, 0, NEG)
+        H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG).astype(cd)
+        H0 = jnp.broadcast_to(H0, (BAND_PAD, TB))
+        F0 = jnp.full((BAND_PAD, TB), NEG, cd)
+        if is_local:
+            snap0 = jnp.zeros((BAND_PAD, TB), cd)
+        else:
+            snap0 = jnp.full((BAND_PAD, TB), NEG, cd)
+        row0 = jnp.zeros((BAND_PAD, TB), cd)
+        plen_row = plen_ref[0:1, :]
+        MATCH = jnp.asarray(scheme.match, cd)
+        NPEN = jnp.asarray(-scheme.n_penalty, cd)
+        SENT = jnp.asarray(-SENT_S, cd)
+
+        def body(carry, i0, pm, mis, tsl):
+            H, F, snapH, snapR = carry
+            pmb = jnp.broadcast_to(pm, tsl.shape)
+            misb = jnp.broadcast_to(mis, tsl.shape)
+            s = jnp.where(
+                tsl == PAD_SYMBOL, SENT,
+                jnp.where(tsl >= 4, NPEN,
+                          jnp.where(tsl == pmb, MATCH, -misb)),
+            )
+            up_H = _shift_down(H, NEG)
+            up_F = _shift_down(F, NEG)
+            F_new = jnp.maximum(up_H - (go + ge), up_F - ge)
+            Hhat = jnp.maximum(H + s, F_new)
+            if is_local:
+                Hhat = jnp.maximum(Hhat, 0)
+            # weighted cummax (Kogge-Stone along the band)
+            Ew = _shift_up_by(Hhat, 1, NEG) + ksub
+            d = 1
+            while d < BAND_PAD:
+                Ew = jnp.maximum(Ew, _shift_up_by(Ew, d, NEG))
+                d *= 2
+            H_new = jnp.maximum(Hhat, Ew - kk)
+            if is_local:
+                H_new = jnp.maximum(H_new, 0)
+            H_new = jnp.where(in_band, H_new, NEG)
+
+            row = i0 + 1
+            if is_local:
+                upd = (H_new > snapH) & (row <= plen_row)
+                snapH = jnp.where(upd, H_new, snapH)
+                snapR = jnp.where(upd, jnp.broadcast_to(row, snapR.shape),
+                                  snapR)
+            else:
+                hit = row == plen_row  # (1, TB) broadcast
+                snapH = jnp.where(hit, H_new, snapH)
+            return H_new, F_new, snapH, snapR
+
+        def chunk(c, carry):
+            base = pl.multiple_of(c * CH, CH)
+            tchunk = text_ref[pl.ds(base, BAND_PAD + CH), :]
+            pchunk = pm_ref[pl.ds(base, CH), :]
+            mchunk = mis_ref[pl.ds(base, CH), :]
+            for r in range(CH):
+                carry = body(
+                    carry,
+                    c * CH + r,
+                    pchunk[r : r + 1, :],
+                    mchunk[r : r + 1, :],
+                    tchunk[r : r + BAND_PAD, :],
+                )
+            return carry
+
+        H, F, snapH, snapR = jax.lax.fori_loop(
+            0, Lp // CH, chunk, (H0, F0, snap0, row0)
+        )
+        kr32 = krange
+        plen32 = plen_ref[0:1, :]
+        tlen32 = tlen_ref[0:1, :]
+        if atype == AlignmentType.GLOBAL:
+            k_goal = tlen32 - plen32 + band_w  # (1, TB)
+            best = jnp.max(
+                jnp.where(kr32 == k_goal, snapH, NEG_INF),
+                axis=0, keepdims=True,
+            )
+            best_i = plen32
+            best_k = k_goal
+        elif atype == AlignmentType.SEMI_GLOBAL:
+            # gap-only (E) paths run past tlen paying no substitution,
+            # so final-row cells with j > tlen hold finite values: mask
+            # them here (k > tlen - plen + w <=> j > tlen at row plen);
+            # their k always exceeds every valid slot's k, so the
+            # tie-break min below needs no extra mask
+            k_max = tlen32 - plen32 + band_w  # (1, TB)
+            best = jnp.max(
+                jnp.where(kr32 <= k_max, snapH, NEG_INF),
+                axis=0, keepdims=True,
+            )
+            best_k = jnp.min(
+                jnp.where(snapH == best, kr32, BAND_PAD),
+                axis=0, keepdims=True,
+            )
+            best_i = plen32
+        else:
+            best = jnp.max(snapH, axis=0, keepdims=True)
+            key = snapR * jnp.int32(BAND_PAD) + kr32
+            best_key = jnp.min(
+                jnp.where(snapH == best, key, jnp.int32(1 << 30)),
+                axis=0, keepdims=True,
+            )
+            best_i = best_key // BAND_PAD
+            best_k = best_key % BAND_PAD
+        # contract: anything below the floor is "no path"
+        no_path = best < SCORE_FLOOR
+        best = jnp.where(no_path, jnp.int32(NEG_INF), best)
+        zero_len = plen32 <= 0
+        best = jnp.where(zero_len,
+                         jnp.int32(0) if is_local else jnp.int32(NEG_INF),
+                         best)
+        best_i = jnp.where(zero_len, 0, best_i)
+        best_k = jnp.where(zero_len, band_w, best_k)
+        t_end = jnp.maximum(best_i + best_k - band_w, 0)
+        out_ref[0:1, :] = best
+        out_ref[1:2, :] = best_i
+        out_ref[2:3, :] = t_end
+        out_ref[3:8, :] = jnp.zeros((5, TB), jnp.int32)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scheme", "atype", "band_w", "interpret", "tile",
@@ -251,8 +453,9 @@ def banded_score_pallas(
     NB, Lp = patterns.shape
     Lt = texts.shape[1]
     BAND = 2 * band_w + 1
-    BAND_PAD = max(8, 1 << (BAND - 1).bit_length())  # pow2 for the scan
+    BAND_PAD = _band_pad(BAND)
     Lp8 = (Lp + 7) // 8 * 8
+    tile = _auto_tile(BAND_PAD, Lp8, tile)
     nb_pad = (NB + tile - 1) // tile * tile
     if quals is None:
         quals = jnp.full((NB, Lp), 40, jnp.int32)
@@ -276,6 +479,10 @@ def banded_score_pallas(
     texts_t = texts_p.T  # (LT_PAD, nb_pad)
     plens_t = prep(plens[:, None], 0).T  # (1, nb_pad)
     tlens_t = prep(tlens[:, None], 0).T
+    # sentinel the per-lane tail (staged row r holds text[r - w]; rows
+    # with r - w >= tlen may carry arbitrary gathered symbols)
+    m = jnp.arange(LT_PAD, dtype=jnp.int32)[:, None] - band_w
+    texts_t = jnp.where(m >= tlens_t, PAD_SYMBOL, texts_t)
 
     out = banded_score_pallas_staged(
         pats_t, quals_t, texts_t, plens_t, tlens_t,
@@ -305,13 +512,20 @@ def banded_score_pallas_staged(
     compute_dtype: str = "auto",
 ):
     """Pre-staged entry: callers that already hold (seq, batch)-major
-    arrays (e.g. the mapper's window gather, or benchmarks staging once
-    outside a timing loop) skip the transpose/pad prologue.  NB must be
-    a multiple of `tile`; LT_PAD must be >= Lp8 + BAND_PAD + 8."""
+    arrays (e.g. benchmarks staging once outside a timing loop) skip
+    the transpose/pad prologue.  NB must be a multiple of `tile`;
+    LT_PAD must be >= Lp8 + BAND_PAD + 8.
+
+    Contract: staged text rows r with r - band_w >= tlen (per lane)
+    must hold PAD_SYMBOL — the int32 body relies on sentinel staging
+    instead of per-row bounds masks (the unstaged wrapper enforces
+    this; static PAD_SYMBOL padding already satisfies it when
+    tlen == Lt for every lane)."""
     Lp8, nb = pats_t.shape
     BAND = 2 * band_w + 1
-    BAND_PAD = max(8, 1 << (BAND - 1).bit_length())
+    BAND_PAD = _band_pad(BAND)
     LT_PAD = texts_t.shape[0]
+    tile = _auto_tile(BAND_PAD, Lp8, tile)
     assert Lp8 % 8 == 0 and nb % tile == 0
 
     grid = (nb // tile,)
@@ -333,22 +547,41 @@ def banded_score_pallas_staged(
     cd = jnp.int16 if compute_dtype == "int16" and i16_ok else jnp.int32
     CH = 8 if cd == jnp.int32 else 16
     assert LT_PAD >= Lp8 + BAND_PAD + CH
-    kernel = _make_kernel(Lp8, scheme, atype, band_w, BAND, BAND_PAD,
-                          tile, cd=cd)
+    if cd == jnp.int32:
+        # sentinel-body guards: reachable scores stay above SCORE_FLOOR
+        # and invalid-cell drift stays above INT32_MIN
+        assert worst < -SCORE_FLOOR, (
+            f"scores may cross the sentinel floor (worst={worst}); "
+            "shorten the pattern or band")
+        assert Lp8 * (SENT_S + 64) < (1 << 30), "Lp too long for sentinel body"
+        # hot-loop precomputes: pattern symbols with N/pad rows -> 9,
+        # quality-aware mismatch penalty with pattern-N folded in
+        pm_t = jnp.where(pats_t >= 4, 9, pats_t)
+        mmq = scheme.mismatch_min + (
+            (scheme.mismatch_max - scheme.mismatch_min)
+            * jnp.minimum(quals_t, 40)) // 40
+        mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+        kernel = _make_kernel32(Lp8, scheme, atype, band_w, BAND,
+                                BAND_PAD, tile)
+        ins = (pm_t, mis_t, texts_t, plens_t, tlens_t)
+    else:
+        kernel = _make_kernel_masked(Lp8, scheme, atype, band_w, BAND,
+                                     BAND_PAD, tile, cd=cd)
+        ins = (pats_t, quals_t, texts_t, plens_t, tlens_t)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, nb), jnp.int32),
         grid=grid,
         in_specs=[
-            bspec(Lp8),  # patterns
-            bspec(Lp8),  # quals
+            bspec(Lp8),  # patterns / pm
+            bspec(Lp8),  # quals / mis
             bspec(LT_PAD),  # texts
             bspec(1),  # plens
             bspec(1),  # tlens
         ],
         out_specs=bspec(8),
         interpret=interpret,
-    )(pats_t, quals_t, texts_t, plens_t, tlens_t)
+    )(*ins)
     return {
         "score": out[0],
         "p_end": out[1],

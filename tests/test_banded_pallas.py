@@ -64,6 +64,38 @@ def test_pallas_matches_xla(scheme, atype):
     )
 
 
+def test_pallas_wide_band_matches_xla():
+    """Wide bands (PE insert-window rescue shape: band spans the whole
+    window) stay on the Pallas kernel via non-pow2 BAND_PAD + lane-tile
+    shrink; exact equality vs the XLA twin."""
+    scheme, atype = GotohScheme(), AlignmentType.SEMI_GLOBAL
+    band_w = 150  # BAND=301 > the old 127 cap
+    lp, lt = 24, 24 + 2 * 150
+    nb = 96
+    rng = np.random.default_rng(5)
+    plens = rng.integers(8, lp + 1, nb).astype(np.int32)
+    tlens = rng.integers(lp, lt + 1, nb).astype(np.int32)
+    pats = rng.integers(0, 4, (nb, lp)).astype(np.int8)
+    quals = rng.integers(0, 42, (nb, lp)).astype(np.int32)
+    texts = rng.integers(0, 4, (nb, lt)).astype(np.int8)
+    for b in range(nb):  # plant the pattern somewhere in the window
+        off = rng.integers(0, tlens[b] - plens[b] + 1)
+        texts[b, off:off + plens[b]] = pats[b, :plens[b]]
+    args = (
+        jnp.asarray(pats), jnp.asarray(plens),
+        jnp.asarray(texts), jnp.asarray(tlens), jnp.asarray(quals),
+    )
+    ref = banded_score_batch(*args, scheme=scheme, atype=atype,
+                             band_w=band_w)
+    got = banded_score_pallas(*args, scheme=scheme, atype=atype,
+                              band_w=band_w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["score"]),
+                                  np.asarray(ref["score"]))
+    ok = np.asarray(ref["score"]) > -(1 << 29)
+    np.testing.assert_array_equal(np.asarray(got["t_end"])[ok],
+                                  np.asarray(ref["t_end"])[ok])
+
+
 def test_pallas_int16_opt_in_matches_xla():
     """The int16 compute-dtype variant (opt-in; for TPU generations
     with int16 vector compares) must match the XLA twin on reachable

@@ -1,5 +1,7 @@
 """Paired-end pipeline: concordant pairing, rescue, SAM pair flags."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -112,6 +114,66 @@ def test_paired_xs_and_ambiguous_mapq():
             assert r.mapq <= 3, f"ambiguous mate mapq={r.mapq}"
         else:
             assert not has_xs and r.mapq >= 20
+
+
+def test_chunked_rescue_matches_wide_band():
+    """The Pallas chunked window rescue must agree with the XLA
+    window-wide band for every above-score-min alignment (the only ones
+    rescue consumes), including indel cases up to the gap budget."""
+    import jax.numpy as jnp
+    from nvbio_tpu.alignment.batched import banded_score_batch
+    from nvbio_tpu.models.paired import _chunk_plan, _chunked_window_score
+    params = MapperParams(maxins=400)
+    L = 96
+    W = params.band_w
+    rescue_w = params.maxins + 2 * W
+    LT = L + 2 * rescue_w
+    plan = _chunk_plan(L, LT, params)
+    assert plan is not None
+    rng = np.random.default_rng(11)
+    R = 48
+    pats = rng.integers(0, 4, (R, L)).astype(np.int8)
+    texts = rng.integers(0, 4, (R, LT)).astype(np.int8)
+    # plant within the covered start range, clear of the band edge
+    # (at the window boundary wide and chunked clip differently by
+    # design; decisions still agree via the score-min gate)
+    offs = rng.integers(0, rescue_w - 40, R)
+    for b in range(R):  # plant with small indels + mismatches
+        p = list(pats[b])
+        ndel = rng.integers(0, 8)  # one contiguous deletion run
+        if ndel:
+            at = rng.integers(0, len(p) - ndel)
+            del p[at:at + ndel]
+        texts[b, offs[b]:offs[b] + len(p)] = p
+        for _ in range(rng.integers(0, 3)):
+            texts[b, offs[b] + rng.integers(0, len(p))] = rng.integers(0, 4)
+    lens = np.full(R, L, np.int32)
+    tlens = rng.integers(LT - 50, LT + 1, R).astype(np.int32)
+    quals = np.full((R, L), 35, np.int32)
+    args = (jnp.asarray(pats), jnp.asarray(lens), jnp.asarray(texts),
+            jnp.asarray(tlens), jnp.asarray(quals))
+    wide = banded_score_batch(
+        *args, scheme=params.scheme, atype=params.atype, band_w=rescue_w
+    )
+    got = _chunked_window_score(*args, params, plan, interpret=True)
+    # both engines of the chunked path must agree bit-exactly (this is
+    # what makes CPU and TPU PE output identical)
+    xla = _chunked_window_score(*args, params, plan, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got["score"]),
+                                  np.asarray(xla["score"]))
+    np.testing.assert_array_equal(np.asarray(got["t_end"]),
+                                  np.asarray(xla["t_end"]))
+    smin = math.ceil(params.score_min_a + params.score_min_b * L)
+    sw = np.asarray(wide["score"])
+    sg = np.asarray(got["score"])
+    above = sw >= smin
+    assert above.sum() >= R // 2  # the test must exercise real rescues
+    np.testing.assert_array_equal(sg[above], sw[above])
+    np.testing.assert_array_equal(
+        np.asarray(got["t_end"])[above], np.asarray(wide["t_end"])[above]
+    )
+    # sub-threshold lanes may differ in value but never in decision
+    assert (sg[~above] < smin).all()
 
 
 def test_rescue_recovers_mate(pmapper):
