@@ -46,11 +46,19 @@ from ..basic.alphabet import dna_to_char
 from ..io import sam as S
 
 
-def _se_reduce(c, lens, params):
-    """Top-2 single-end reduction over a candidate dict (R, 2C)."""
+def _se_reduce(c, lens, params, span=None):
+    """Top-2 single-end reduction over a candidate dict (R, 2C).
+    With `span` = (lo, hi) (sharded PE), only candidates whose window
+    origin lies in the shard's ownership interval count (overlap tails
+    and left-edge clamp duplicates are masked; see
+    sharded_mapper._shard_cands)."""
     R = c["score"].shape[0]
     C = params.max_candidates
     sc = c["score"]
+    if span is not None:
+        lo, hi = span
+        ws = c["win_start"]
+        sc = jnp.where((ws >= lo) & (ws < hi), sc, NEG_INF)
     bi = jnp.argmax(sc, axis=1)
     best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
     second = jnp.max(sc.at[jnp.arange(R), bi].set(NEG_INF), axis=1)
@@ -204,11 +212,18 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def pe_map_batch(
     fm, ssa, genome, r1, l1, q1, r2, l2, q2, *,
-    params: MapperParams, use_pallas: bool = False, lut=None,
+    params: MapperParams, use_pallas: bool = False, lut=None, span=None,
 ):
     """Paired forward step.  Returns per-mate dicts (aligned, strand,
-    win_start, score, mapq, rescue_w used) + pair-level info (proper,
-    discordant)."""
+    win_start, score, mapq, second) + pair-level info (proper,
+    discordant, pair scores).
+
+    `span` = (lo, hi) (sharded PE): this index covers one shard of the
+    genome with ownership interval [lo, hi) in local window origins;
+    concordant pairs are owned by the shard holding their leftmost
+    (forward) mate's origin, SE candidates by their own origin — the
+    shard overlap must cover a full pair span so boundary pairs are
+    found whole in the left shard (checked by PairedShardedMapper)."""
     R = r1.shape[0]
     C = params.max_candidates
     n = fm.n
@@ -237,6 +252,12 @@ def pe_map_batch(
     ins_b = p1 + l1[:, None, None] - p2  # mate2 fwd, mate1 rev
     conc_b = (st1 == 1) & (st2 == 0) & (ins_b >= params.minins - slack) & (
         ins_b <= params.maxins + slack)
+    if span is not None:
+        # pair ownership: leftmost (forward) mate's origin inside the
+        # shard's ownership interval
+        lo, hi = span
+        conc_a = conc_a & (p1 >= lo) & (p1 < hi)
+        conc_b = conc_b & (p2 >= lo) & (p2 < hi)
     conc = (conc_a | conc_b) & s1ok & s2ok
     pair_sc = jnp.where(
         conc, c1["score"][:, :, None] + c2["score"][:, None, :], NEG_INF
@@ -250,8 +271,8 @@ def pe_map_batch(
     i1 = pbi // (2 * C)
     i2 = pbi % (2 * C)
 
-    se1 = _se_reduce(c1, l1, params)
-    se2 = _se_reduce(c2, l2, params)
+    se1 = _se_reduce(c1, l1, params, span=span)
+    se2 = _se_reduce(c2, l2, params, span=span)
 
     # --- mate rescue (anchor = the better-aligned single mate) ---
     if params.enable_rescue:
@@ -320,16 +341,27 @@ def pe_map_batch(
     mq1 = jnp.where(proper, mq_pair, mq1_se)
     mq2 = jnp.where(proper, mq_pair, mq2_se)
 
+    def mate_out(a, stf, ws, sc, mq, se, lens):
+        return {
+            "aligned": a & (lens > 0), "strand": stf, "win_start": ws,
+            "score": sc, "mapq": jnp.where(a, mq, 0),
+            "second": se["second"],
+            "has_second": se["second"] > NEG_INF // 2,
+            # SE detail for cross-shard merging (sharded PE)
+            "se_best": se["best"], "se_second": se["second"],
+            "se_strand": se["strand"], "se_ws": se["win_start"],
+            "se_aligned": se["aligned"],
+        }
+
     return (
-        {"aligned": a1 & (l1 > 0), "strand": st1f, "win_start": ws1,
-         "score": sc1, "mapq": jnp.where(a1, mq1, 0),
-         "second": se1["second"],
-         "has_second": se1["second"] > NEG_INF // 2},
-        {"aligned": a2 & (l2 > 0), "strand": st2f, "win_start": ws2,
-         "score": sc2, "mapq": jnp.where(a2, mq2, 0),
-         "second": se2["second"],
-         "has_second": se2["second"] > NEG_INF // 2},
-        {"proper": proper, "discordant": discordant & ~proper},
+        mate_out(a1, st1f, ws1, sc1, mq1, se1, l1),
+        mate_out(a2, st2f, ws2, sc2, mq2, se2, l2),
+        {"proper": proper, "discordant": discordant & ~proper,
+         # pair detail for cross-shard merging: the ladder key is
+         # (has_conc, pair score); pair_second only among concordant
+         "has_conc": has_conc,
+         "pair_score": pair_best_eff,
+         "pair_second": pair_second_eff},
     )
 
 

@@ -34,14 +34,60 @@ from .mapq import mapq_v2
 from .params import MapperParams
 
 
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
+def _shard_all(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
+               params: MapperParams, use_pallas=False, k=8, lut=None):
+    """Per-shard top-k candidates for --all mode (ownership-masked)."""
+    C = params.max_candidates
+    k = min(k, 2 * C)
+    c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
+                        params=params, use_pallas=use_pallas, lut=lut)
+    ws = c["win_start"]
+    sc = jnp.where((ws >= lo) & (ws < hi), c["score"], NEG_INF)
+    order = jnp.argsort(-sc, axis=1)[:, :k]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    return {
+        "score": take(sc),
+        "strand": (order // C).astype(jnp.int32),
+        "win_start": take(c["win_start"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("params", "k"))
+def _sharded_all_merge(per_shard, lens, params: MapperParams, k=8):
+    """Merge per-shard top-k lists into a global score-descending top-k
+    with shard ids."""
+    S = len(per_shard)
+    sc = jnp.concatenate([p["score"] for p in per_shard], axis=1)
+    ws = jnp.concatenate([p["win_start"] for p in per_shard], axis=1)
+    st = jnp.concatenate([p["strand"] for p in per_shard], axis=1)
+    kk = per_shard[0]["score"].shape[1]
+    shard_id = jnp.repeat(jnp.arange(S, dtype=jnp.int32), kk)[None, :]
+    order = jnp.argsort(-sc, axis=1)[:, :k]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    scores = take(sc)
+    smin = _score_min(lens, params)
+    return {
+        "score": scores,
+        "valid": (scores >= smin[:, None]) & (lens[:, None] > 0),
+        "strand": take(st),
+        "win_start": take(ws),  # shard-local
+        "shard": take(jnp.broadcast_to(shard_id, sc.shape)),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
-def _shard_cands(fm, ssa, genome_s, reads, lens, quals, span, *,
+def _shard_cands(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
                  params: MapperParams, use_pallas=False, lut=None):
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
                         params=params, use_pallas=use_pallas, lut=lut)
-    # ownership: alignments starting in the overlap tail belong to the
-    # next shard — mask them here so they are counted exactly once
-    sc = jnp.where(c["win_start"] < span, c["score"], NEG_INF)
+    # ownership interval [lo, hi): alignments starting in the overlap
+    # tail belong to the next shard, and window origins clamped to the
+    # shard's left edge (local 0, non-first shards) are clipped
+    # duplicates of alignments the previous shard sees whole — mask
+    # both so every alignment is counted exactly once, un-clipped
+    ws = c["win_start"]
+    sc = jnp.where((ws >= lo) & (ws < hi), c["score"], NEG_INF)
     return {**c, "score": sc}
 
 
@@ -83,6 +129,76 @@ def _sharded_top2(cands, lens, params: MapperParams):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
+    """Cross-shard reduction of per-shard pe_map_batch outputs.
+
+    Mirrors the single-index decision ladder exactly: concordant pairs
+    beat rescue pairs globally (not per shard); pair MAPQ uses the
+    global concordant second-best (winner shard's second vs other
+    shards' best); SE fallback fields merge over ownership-masked
+    per-shard SE bests.  Pairs never split across shards (the overlap
+    covers a full pair span), so per-shard pair scores partition the
+    global pair set."""
+    S = len(shard_outs)
+    stackf = lambda sel: jnp.stack([sel(o) for o in shard_outs])
+    has_conc = stackf(lambda o: o[2]["has_conc"])  # (S, R)
+    p_sc = stackf(lambda o: o[2]["pair_score"])
+    p_2nd = stackf(lambda o: o[2]["pair_second"])
+    proper_s = stackf(lambda o: o[2]["proper"])
+    conc_sc = jnp.where(has_conc, p_sc, NEG_INF)
+    resc_sc = jnp.where(proper_s & ~has_conc, p_sc, NEG_INF)
+    any_conc = has_conc.any(axis=0)
+    w = jnp.where(any_conc, jnp.argmax(conc_sc, axis=0),
+                  jnp.argmax(resc_sc, axis=0)).astype(jnp.int32)  # (R,)
+    proper = any_conc | (jnp.max(resc_sc, axis=0) > NEG_INF // 2)
+    takeS = lambda a: jnp.take_along_axis(a, w[None, :], axis=0)[0]
+    pair_score = takeS(p_sc)
+    sid = jnp.arange(S, dtype=jnp.int32)[:, None]
+    conc_others = jnp.where(sid == w[None, :], NEG_INF, conc_sc)
+    pair_second = jnp.where(
+        any_conc,
+        jnp.maximum(takeS(p_2nd), jnp.max(conc_others, axis=0)),
+        NEG_INF,
+    )
+    sperf_p = _score_perfect(l1, params) + _score_perfect(l2, params)
+    smin_p = _score_min(l1, params) + _score_min(l2, params)
+    mq_pair = mapq_v2(pair_score, pair_second,
+                      pair_second > NEG_INF // 2, smin_p, sperf_p)
+
+    def merge_mate(idx, lens):
+        m = lambda key: stackf(lambda o: o[idx][key])
+        se_best = m("se_best")
+        se_sec = m("se_second")
+        wg = jnp.argmax(se_best, axis=0).astype(jnp.int32)
+        tG = lambda a: jnp.take_along_axis(a, wg[None, :], axis=0)[0]
+        g_best = tG(se_best)
+        others = jnp.where(sid == wg[None, :], NEG_INF, se_best)
+        g_second = jnp.maximum(tG(se_sec), jnp.max(others, axis=0))
+        smin = _score_min(lens, params)
+        se_aligned = (g_best >= smin) & (lens > 0)
+        strand = jnp.where(proper, takeS(m("strand")), tG(m("se_strand")))
+        ws = jnp.where(proper, takeS(m("win_start")), tG(m("se_ws")))
+        score = jnp.where(proper, takeS(m("score")), g_best)
+        aligned = jnp.where(proper, True, se_aligned)
+        shard = jnp.where(proper, w, wg)
+        mq_se = mapq_v2(g_best, g_second, g_second >= smin, smin,
+                        _score_perfect(lens, params))
+        mq = jnp.where(proper, mq_pair, mq_se)
+        return {
+            "aligned": aligned & (lens > 0), "strand": strand,
+            "win_start": ws, "score": score,
+            "mapq": jnp.where(aligned, mq, 0),
+            "second": g_second, "has_second": g_second > NEG_INF // 2,
+            "shard": shard,
+        }, se_aligned
+
+    m1, a1 = merge_mate(0, l1)
+    m2, a2 = merge_mate(1, l2)
+    discordant = (~proper) & a1 & a2
+    return m1, m2, {"proper": proper, "discordant": discordant}
+
+
 class ShardedMapper(Mapper):
     """Host orchestration over a ShardedIndex; SAM emit shared with the
     flagship mapper (global positions appear only on the host)."""
@@ -119,6 +235,11 @@ class ShardedMapper(Mapper):
         starts = [s["start"] for s in self.shard_state] + [self.n]
         for i, st in enumerate(self.shard_state):
             st["span"] = starts[i + 1] - starts[i]
+            # ownership interval [own_lo, own_hi) in local coords: the
+            # left edge (local 0) of non-first shards holds clamped
+            # duplicates owned by the previous shard (see _shard_cands)
+            st["own_lo"] = 0 if i == 0 else 1
+            st["own_hi"] = st["span"] + 1
 
     def _dispatch_chunk(self, seqs, lens, quals):
         R = seqs.shape[0]
@@ -135,7 +256,8 @@ class ShardedMapper(Mapper):
         jq = jnp.asarray(quals.astype(np.uint8))
         cands = [
             _shard_cands(st["fm"], st["ssa"], st["g"], jr, jl, jq,
-                         jnp.asarray(st["span"], jnp.int32),
+                         jnp.asarray(st["own_lo"], jnp.int32),
+                         jnp.asarray(st["own_hi"], jnp.int32),
                          params=self.params, use_pallas=self.use_pallas,
                          lut=st["lut"])
             for st in self.shard_state
@@ -175,6 +297,188 @@ class ShardedMapper(Mapper):
                              + np.asarray(fwd["win_start"]).astype(np.int64))
         return self._finish(seqs, lens, quals, fwd2, None, walk)[:R]
 
-    def map_reads_all(self, *a, **k):
-        raise NotImplementedError(
-            "--all mode is not yet supported on sharded indexes")
+    def map_reads_all(self, seqs, lens, quals, max_alns: int = 8):
+        """--all over a sharded index: per-shard top-k candidate lists
+        merged into a global top-k (ownership keeps overlap-visible
+        hits exactly once), per-shard traceback, winners picked on the
+        host.  Same output contract as Mapper.map_reads_all."""
+        R = seqs.shape[0]
+        B = self.params.batch_size
+        seqs, quals = self._len_bucket(seqs, lens, quals)
+        out: list[list[MapResult]] = []
+        for s0 in range(0, R, B):
+            out.extend(self._map_chunk_all(
+                seqs[s0:s0 + B], lens[s0:s0 + B], quals[s0:s0 + B],
+                max_alns,
+            ))
+        return out
+
+    def _map_chunk_all(self, seqs, lens, quals, k):
+        R = seqs.shape[0]
+        B = self.params.batch_size
+        if R < B:
+            pad = B - R
+            seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
+                                                 seqs.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
+                                                    quals.dtype)])
+        jr = jnp.asarray(seqs)
+        jl = jnp.asarray(lens.astype(np.int32))
+        jq = jnp.asarray(quals.astype(np.uint8))
+        per_shard = [
+            _shard_all(st["fm"], st["ssa"], st["g"], jr, jl, jq,
+                       jnp.asarray(st["own_lo"], jnp.int32),
+                       jnp.asarray(st["own_hi"], jnp.int32),
+                       params=self.params, use_pallas=self.use_pallas,
+                       k=k, lut=st["lut"])
+            for st in self.shard_state
+        ]
+        fwd = _sharded_all_merge(per_shard, jl, self.params, k=k)
+        K = fwd["score"].shape[1]
+        rep = lambda a: jnp.repeat(a, K, axis=0)
+        ws_flat = fwd["win_start"].reshape(-1)
+        st_flat = fwd["strand"].reshape(-1)
+        walks = []
+        for st in self.shard_state:
+            n_local = jnp.asarray(st["length"], jnp.int32)
+            res, walk = traceback_walk_batch(
+                st["g"], n_local, rep(jr), jnp.repeat(jl, K), rep(jq),
+                ws_flat, st_flat, params=self.params,
+            )
+            walks.append(walk)
+        shard = np.asarray(fwd["shard"]).reshape(-1)
+        sel = lambda key: np.stack(
+            [np.asarray(w[key]) for w in walks], 0
+        )[shard, np.arange(shard.shape[0])]
+        walk = {"ops": sel("ops"), "p_start": sel("p_start"),
+                "t_start": sel("t_start")}
+        starts = np.asarray([s["start"] for s in self.shard_state],
+                            np.int64)
+        flat_fwd = {
+            "aligned": np.asarray(fwd["valid"]).reshape(-1),
+            "strand": np.asarray(st_flat),
+            "win_start": starts[shard] + np.asarray(ws_flat).astype(np.int64),
+            "score": np.asarray(fwd["score"]).reshape(-1),
+            "second": np.zeros(B * K, np.int32),
+            "has_second": np.zeros(B * K, bool),
+            "mapq": np.zeros(B * K, np.int32),
+        }
+        results = self._finish(
+            np.repeat(seqs, K, axis=0), np.repeat(lens, K),
+            np.repeat(quals, K, axis=0), flat_fwd, None, walk,
+        )
+        grouped = []
+        for r in range(min(R, B)):
+            alns = [results[r * K + j] for j in range(K)
+                    if results[r * K + j].aligned]
+            seen, uniq = set(), []
+            for a in alns:
+                if (a.pos, a.strand) not in seen:
+                    seen.add((a.pos, a.strand))
+                    uniq.append(a)
+            grouped.append(uniq)
+        return grouped
+
+
+class PairedShardedMapper(ShardedMapper):
+    """Paired-end mapping over a sharded index: per-shard pe_map_batch
+    (pair ownership by leftmost mate; see paired.pe_map_batch `span`)
+    merged with _sharded_pe_merge, per-mate per-shard traceback with
+    host winner selection.  SAM emission is shared with PairedMapper.
+
+    One documented divergence from the single-index mapper: mate rescue
+    anchors on each shard's own SE best, so when a read's best anchors
+    tie across shards the rescued pair can only improve on the single-
+    index result (which rescues around the one global anchor)."""
+
+    # borrow the paired orchestration/record layer
+    from .paired import PairedMapper as _PM
+    map_pairs = _PM.map_pairs
+    map_pairs_stream = _PM.map_pairs_stream
+    _map_pair_chunk = _PM._map_pair_chunk
+    to_sam_records_pe = _PM.to_sam_records_pe
+    _pe_record = _PM._pe_record
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        need = (self.params.maxins + self.params.max_read_len
+                + 2 * self.params.band_w + 8)
+        for st in self.shard_state[:-1]:
+            ov = st["length"] - st["span"]
+            if ov < need:
+                raise ValueError(
+                    f"sharded PE needs shard overlap >= maxins + "
+                    f"max_read_len + 2*band_w + 8 = {need}, got {ov}; "
+                    "rebuild the index with --shard-overlap >= that")
+
+    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        from .paired import pe_map_batch
+        R = s1.shape[0]
+        B = self.params.batch_size
+
+        def padto(a, fill):
+            if a.shape[0] >= B:
+                return a
+            pad = np.full((B - a.shape[0],) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, pad])
+
+        s1p, s2p = padto(s1, PAD), padto(s2, PAD)
+        l1p, l2p = padto(l1, 0), padto(l2, 0)
+        q1p, q2p = padto(q1, 0), padto(q2, 0)
+        args = tuple(
+            jnp.asarray(a.astype(np.int32) if a.dtype != np.int8 else a)
+            for a in (s1p, l1p, q1p, s2p, l2p, q2p)
+        )
+        shard_outs = [
+            pe_map_batch(
+                st["fm"], st["ssa"], st["g"], *args,
+                params=self.params, use_pallas=self.use_pallas,
+                lut=st["lut"],
+                span=(jnp.asarray(st["own_lo"], jnp.int32),
+                      jnp.asarray(st["own_hi"], jnp.int32)),
+            )
+            for st in self.shard_state
+        ]
+        m1, m2, pair = _sharded_pe_merge(
+            shard_outs, args[1], args[4], self.params)
+        walks = []
+        for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
+                                   (m2, (s2p, l2p, q2p))):
+            per_shard = []
+            for st in self.shard_state:
+                res, walk = traceback_walk_batch(
+                    st["g"], jnp.asarray(st["length"], jnp.int32),
+                    jnp.asarray(sp), jnp.asarray(lp.astype(np.int32)),
+                    jnp.asarray(qp.astype(np.uint8)),
+                    mate["win_start"], mate["strand"],
+                    params=self.params,
+                )
+                per_shard.append(walk)
+            walks.append((mate, per_shard))
+        return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)
+
+    def _collect_pair_chunk(self, handle):
+        (p1, p2, walks, pair, R) = handle
+        starts = np.asarray([s["start"] for s in self.shard_state],
+                            np.int64)
+        res1, res2 = [], []
+        for (mate, per_shard), (sp, lp, qp), out in (
+                (walks[0], p1, res1), (walks[1], p2, res2)):
+            shard = np.asarray(mate["shard"])
+            rows = np.arange(shard.shape[0])
+            sel = lambda key: np.stack(
+                [np.asarray(w[key]) for w in per_shard], 0)[shard, rows]
+            walk = {"ops": sel("ops"), "p_start": sel("p_start"),
+                    "t_start": sel("t_start")}
+            fwd = dict(mate)
+            fwd["win_start"] = (starts[shard]
+                                + np.asarray(mate["win_start"]).astype(np.int64))
+            out.extend(self._finish(sp, lp, qp, fwd, None, walk))
+        proper = np.asarray(pair["proper"])
+        discordant = np.asarray(pair["discordant"])
+        info = [
+            {"proper": bool(proper[i]), "discordant": bool(discordant[i])}
+            for i in range(R)
+        ]
+        return res1[:R], res2[:R], info

@@ -75,8 +75,6 @@ def main(argv=None):
     if _prefix.endswith(".manifest.json"):
         _prefix = _prefix[: -len(".manifest.json")]
     if _os.path.exists(_prefix + ".manifest.json"):
-        if args.m1:
-            p.error("sharded indexes support unpaired (-U) mapping")
         from ..fmindex.sharded import load_sharded_index
         from ..models.sharded_mapper import ShardedMapper
 
@@ -110,11 +108,12 @@ def main(argv=None):
         "lens": np.array(meta["contig_lens"], dtype=np.int64),
     }
     if sharded:
-        from ..models.sharded_mapper import ShardedMapper
+        from ..models.sharded_mapper import ShardedMapper, PairedShardedMapper
 
-        mapper = ShardedMapper(sidx, genome, params=params,
-                               contigs=contigs,
-                               use_pallas=False if args.cpu else None)
+        scls = PairedShardedMapper if args.m1 else ShardedMapper
+        mapper = scls(sidx, genome, params=params,
+                      contigs=contigs,
+                      use_pallas=False if args.cpu else None)
     else:
         cls = PairedMapper if args.m1 else Mapper
         mapper = cls(fm, ssa, genome, params=params, contigs=contigs,

@@ -65,6 +65,108 @@ def test_sharded_matches_single_index(setup):
         assert r_sharded[i].pos == starts[i]
 
 
+def test_sharded_all_mode_matches_single_index(setup):
+    """--all on a sharded index: same per-read alignment sets as the
+    whole-genome index (positions/strand/score), overlap-visible hits
+    exactly once.  Uses a genome with a duplicated block so reads have
+    genuine multi-mappings, including across shards."""
+    genome, params, _, _, _, _ = setup
+    # duplicate a 20k block from shard 0 into shard 2's territory
+    g = genome.copy()
+    g[125_000:145_000] = g[10_000:30_000]
+    rng = np.random.default_rng(7)
+    starts = list(rng.integers(10_000, 30_000 - 100, 12))  # multimappers
+    starts += list(rng.integers(60_000, 100_000 - 100, 8))  # unique
+    starts += [59_960, 119_980]  # boundary
+    seqs = [g[s:s + 100].copy() for s in starts]
+    reads, lens, quals, _ = pack_reads(
+        seqs, [np.full(100, 35, np.uint8)] * len(seqs)
+    )
+    quals = quals.astype(np.int32)
+
+    fm, ssa = build_fm_index(g, sa_sample=16)
+    single = Mapper(fm, ssa, g, params=params, use_pallas=False)
+    a_single = single.map_reads_all(reads, lens, quals, max_alns=6)
+
+    sidx = build_sharded_index(g, shard_bp=60_000, overlap=2048,
+                               sa_sample=16, lut_k=8)
+    sharded = ShardedMapper(sidx, g, params=params, use_pallas=False)
+    a_sharded = sharded.map_reads_all(reads, lens, quals, max_alns=6)
+
+    key = lambda alns: sorted((a.pos, a.strand, a.score) for a in alns)
+    n_multi = 0
+    for i, (xs, ys) in enumerate(zip(a_single, a_sharded)):
+        assert key(xs) == key(ys), f"read {i}"
+        n_multi += len(ys) > 1
+    assert n_multi >= 10  # the duplicated block must yield multimappers
+
+
+def test_sharded_paired_matches_single_index(setup):
+    """PE over a sharded index: pair decisions, positions, scores and
+    MAPQ must match the single-index PairedMapper, including pairs
+    whose fragments straddle shard boundaries."""
+    from nvbio_tpu.models.paired import PairedMapper
+    from nvbio_tpu.models.sharded_mapper import PairedShardedMapper
+    from nvbio_tpu.utils.simulate import simulate_pairs
+
+    genome, _, _, _, _, _ = setup
+    params = MapperParams(batch_size=64, sa_sample=16, max_candidates=8,
+                          lut_k=8, minins=0, maxins=400)
+    rng = np.random.default_rng(5)
+    sim = simulate_pairs(genome, 56, 100, insert_mean=250, insert_sd=25,
+                         seed=12)
+    s1, s2 = sim["seqs1"].copy(), sim["seqs2"].copy()
+    # overwrite the last 8 pairs with boundary-straddling fragments
+    for j, fs in enumerate([59_820, 59_900, 59_960, 59_990,
+                            119_820, 119_900, 119_960, 119_990]):
+        i = 48 + j
+        ins = 250
+        s1[i] = genome[fs:fs + 100]
+        frag2 = genome[fs + ins - 100:fs + ins]
+        s2[i] = np.where(frag2 < 4, 3 - frag2, frag2)[::-1]
+    lens = np.full(56, 100, np.int32)
+    q = np.full((56, 100), 35, np.uint8)
+
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    single = PairedMapper(fm, ssa, genome, params=params,
+                          use_pallas=False)
+    r1s, r2s, infos = single.map_pairs(s1, lens, q, s2, lens, q)
+
+    sidx = build_sharded_index(genome, shard_bp=60_000, overlap=2048,
+                               sa_sample=16, lut_k=8)
+    sh = PairedShardedMapper(sidx, genome, params=params,
+                             use_pallas=False)
+    r1h, r2h, infoh = sh.map_pairs(s1, lens, q, s2, lens, q)
+
+    for i in range(56):
+        assert infos[i] == infoh[i], i
+        for a, b in ((r1s[i], r1h[i]), (r2s[i], r2h[i])):
+            assert a.aligned == b.aligned, i
+            if a.aligned:
+                assert (a.pos, a.strand, a.cigar, a.score, a.mapq,
+                        a.md, a.nm) == \
+                       (b.pos, b.strand, b.cigar, b.score, b.mapq,
+                        b.md, b.nm), i
+    # the straddling pairs must be proper at their true loci
+    for j, fs in enumerate([59_820, 59_900, 59_960, 59_990,
+                            119_820, 119_900, 119_960, 119_990]):
+        i = 48 + j
+        assert infoh[i]["proper"], i
+        assert r1h[i].pos == fs, i
+
+
+def test_sharded_paired_overlap_guard(setup):
+    from nvbio_tpu.models.sharded_mapper import PairedShardedMapper
+
+    genome, _, _, _, _, _ = setup
+    params = MapperParams(batch_size=64, sa_sample=16, maxins=400)
+    sidx = build_sharded_index(genome, shard_bp=60_000, overlap=256,
+                               sa_sample=16, lut_k=0)
+    with pytest.raises(ValueError, match="overlap"):
+        PairedShardedMapper(sidx, genome, params=params,
+                            use_pallas=False)
+
+
 def test_sharded_save_load_roundtrip(setup, tmp_path):
     genome, params, reads, lens, quals, starts = setup
     sidx = build_sharded_index(genome, shard_bp=60_000, overlap=2048,
