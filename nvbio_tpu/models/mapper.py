@@ -377,6 +377,22 @@ def traceback_walk_batch(
 
     Op codes along the walk (end -> start): 0 none, 1 M, 2 D, 3 I.
     """
+    L = reads.shape[1]
+    LT = L + 2 * params.band_w
+    gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
+    texts = genome[gidx]
+    tlens = jnp.clip(n - win_start, 0, LT)
+    return traceback_walk_windows(texts, tlens, reads, lens, quals,
+                                  strand, params=params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def traceback_walk_windows(
+    texts, tlens, reads, lens, quals, strand, *, params: MapperParams
+):
+    """Core of traceback_walk_batch over pre-gathered window texts
+    (shape (R, L + 2*band_w)).  Sharded mappers gather each lane's
+    winner-shard window first, so ONE walk serves all shards."""
     R, L = reads.shape
     W = params.band_w
     BAND = 2 * W + 1
@@ -384,9 +400,6 @@ def traceback_walk_batch(
     rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
     pats = jnp.where(strand[:, None] == 1, rc_reads, reads)
     pquals = jnp.where(strand[:, None] == 1, rc_quals, quals)
-    gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
-    texts = genome[gidx]
-    tlens = jnp.clip(n - win_start, 0, LT)
     res, dirs = banded_directions_batch(
         pats, lens, texts, tlens, pquals,
         scheme=params.scheme, atype=params.atype, band_w=W,
@@ -514,18 +527,40 @@ class Mapper:
             ))
         return out
 
-    def _dispatch_chunk(self, seqs, lens, quals):
-        """Launch the device work for one chunk (async; nothing is
-        pulled to the host here)."""
-        R = seqs.shape[0]
+    def _pad_chunk(self, seqs, lens, quals):
+        """Pad a partial chunk to the jit batch shape."""
         B = self.params.batch_size
-        if R < B:  # pad to the jit batch shape
+        R = seqs.shape[0]
+        if R < B:
             pad = B - R
             seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
                                                  seqs.dtype)])
             lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
             quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
                                                     quals.dtype)])
+        return seqs, lens, quals
+
+    @staticmethod
+    def _group_all(results, R, K):
+        """Group flat (R*K) --all results per read, deduping positions
+        overlapping windows produce (shared with the sharded mapper)."""
+        grouped = []
+        for r in range(R):
+            alns = [results[r * K + j] for j in range(K)
+                    if results[r * K + j].aligned]
+            seen, uniq = set(), []
+            for a in alns:
+                if (a.pos, a.strand) not in seen:
+                    seen.add((a.pos, a.strand))
+                    uniq.append(a)
+            grouped.append(uniq)
+        return grouped
+
+    def _dispatch_chunk(self, seqs, lens, quals):
+        """Launch the device work for one chunk (async; nothing is
+        pulled to the host here)."""
+        R = seqs.shape[0]
+        seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
@@ -753,13 +788,7 @@ class Mapper:
     def _map_chunk_all(self, seqs, lens, quals, k):
         R = seqs.shape[0]
         B = self.params.batch_size
-        if R < B:
-            pad = B - R
-            seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
-                                                 seqs.dtype)])
-            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
-            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
-                                                    quals.dtype)])
+        seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
@@ -790,18 +819,7 @@ class Mapper:
             np.repeat(seqs, K, axis=0), np.repeat(lens, K),
             np.repeat(quals, K, axis=0), flat_fwd, res, walk,
         )
-        grouped = []
-        for r in range(min(R, B)):
-            alns = [results[r * K + j] for j in range(K)
-                    if results[r * K + j].aligned]
-            # drop duplicate positions produced by overlapping windows
-            seen, uniq = set(), []
-            for a in alns:
-                if (a.pos, a.strand) not in seen:
-                    seen.add((a.pos, a.strand))
-                    uniq.append(a)
-            grouped.append(uniq)
-        return grouped
+        return self._group_all(results, min(R, B), K)
 
     def to_sam_records_all(self, names, seqs, lens, quals,
                            all_results: list[list[MapResult]]):

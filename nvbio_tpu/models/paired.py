@@ -68,6 +68,7 @@ def _se_reduce(c, lens, params, span=None):
         "best": best,
         "second": second,
         "bi": bi,
+        "sc": sc,  # ownership-masked candidate scores (R, 2C)
         "aligned": (best >= smin) & (lens > 0),
         "strand": (bi // C).astype(jnp.int32),
         "win_start": take(c["win_start"]),
@@ -273,18 +274,39 @@ def pe_map_batch(
 
     se1 = _se_reduce(c1, l1, params, span=span)
     se2 = _se_reduce(c2, l2, params, span=span)
+    # rescue anchoring must see candidates the ownership mask hides: a
+    # reverse-strand anchor just right of a shard boundary has its
+    # left-extending window clamped in its owning shard, while the
+    # PREVIOUS shard (whose overlap holds the anchor un-clipped) can
+    # rescue the pair — so anchor on the unmasked reduction and put
+    # ownership on the rescued pair's leftmost coordinate instead
+    if span is not None:
+        an1 = _se_reduce(c1, l1, params)
+        an2 = _se_reduce(c2, l2, params)
+    else:
+        an1, an2 = se1, se2
 
     # --- mate rescue (anchor = the better-aligned single mate) ---
     if params.enable_rescue:
-        res2 = _rescue(genome, n, se1["win_start"], se1["strand"], l1,
+        res2 = _rescue(genome, n, an1["win_start"], an1["strand"], l1,
                        r2, l2, q2, params, use_pallas)
-        res1 = _rescue(genome, n, se2["win_start"], se2["strand"], l2,
+        res1 = _rescue(genome, n, an2["win_start"], an2["strand"], l2,
                        r1, l1, q1, params, use_pallas)
-        resc2_ok = se1["aligned"] & (res2["score"] >= smin2)
-        resc1_ok = se2["aligned"] & (res1["score"] >= smin1)
+        resc2_ok = an1["aligned"] & (res2["score"] >= smin2)
+        resc1_ok = an2["aligned"] & (res1["score"] >= smin1)
         # prefer the rescue with the higher pair score
-        rsc_a = jnp.where(resc2_ok, se1["best"] + res2["score"], NEG_INF)
-        rsc_b = jnp.where(resc1_ok, se2["best"] + res1["score"], NEG_INF)
+        rsc_a = jnp.where(resc2_ok, an1["best"] + res2["score"], NEG_INF)
+        rsc_b = jnp.where(resc1_ok, an2["best"] + res1["score"], NEG_INF)
+        if span is not None:
+            lo, hi = span
+            left_a = jnp.where(an1["strand"] == 0, an1["win_start"],
+                               res2["win_start"])
+            left_b = jnp.where(an2["strand"] == 0, an2["win_start"],
+                               res1["win_start"])
+            rsc_a = jnp.where((left_a >= lo) & (left_a < hi), rsc_a,
+                              NEG_INF)
+            rsc_b = jnp.where((left_b >= lo) & (left_b < hi), rsc_b,
+                              NEG_INF)
         use_a = rsc_a >= rsc_b
         has_rescue = (rsc_a > NEG_INF // 2) | (rsc_b > NEG_INF // 2)
         rescue_pair = jnp.where(use_a, rsc_a, rsc_b)
@@ -302,16 +324,17 @@ def pe_map_batch(
 
     def pick(which):
         """Final per-mate fields by the decision ladder."""
-        se, other_se, cand, i, take, smin, lens, res = (
-            (se1, se2, c1, i1, take1, smin1, l1, res1)
+        se, an, cand, i, take, smin, lens, res = (
+            (se1, an1, c1, i1, take1, smin1, l1, res1)
             if which == 1
-            else (se2, se1, c2, i2, take2, smin2, l2, res2)
+            else (se2, an2, c2, i2, take2, smin2, l2, res2)
         )
         # layer 1: concordant candidate
         strand = jnp.where(has_conc, (i // C).astype(jnp.int32), se["strand"])
         ws = jnp.where(has_conc, take(cand["win_start"]), se["win_start"])
         score = jnp.where(has_conc, take(cand["score"]), se["best"])
         aligned = jnp.where(has_conc, True, se["aligned"])
+        resc_here = jnp.zeros_like(has_conc)
         # layer 2: rescue overrides when no concordant pair
         if params.enable_rescue:
             # mate1 is rescued when use_a is False (anchor = mate2)
@@ -322,10 +345,27 @@ def pe_map_batch(
             ws = jnp.where(resc_here, res["win_start"], ws)
             score = jnp.where(resc_here, res["score"], score)
             aligned = aligned | resc_here
-        return aligned, strand, ws, score
+            # this mate anchored the rescue: report the (unmasked)
+            # anchor alignment, not the ownership-masked SE best
+            anchor_here = (~has_conc) & has_rescue & (
+                use_a if which == 1 else (~use_a)
+            )
+            strand = jnp.where(anchor_here, an["strand"], strand)
+            ws = jnp.where(anchor_here, an["win_start"], ws)
+            score = jnp.where(anchor_here, an["best"], score)
+            aligned = aligned | anchor_here
+        # XS = best alignment other than the reported one: exclude the
+        # reported candidate's index (conc winner or SE best); a
+        # rescued mate's alignment is not in the candidate list, so
+        # nothing is excluded for it
+        idx = jnp.where(has_conc, i, se["bi"])
+        sc_excl = se["sc"].at[jnp.arange(R), idx].set(NEG_INF)
+        second = jnp.where(resc_here, jnp.max(se["sc"], axis=1),
+                           jnp.max(sc_excl, axis=1))
+        return aligned, strand, ws, score, second
 
-    a1, st1f, ws1, sc1 = pick(1)
-    a2, st2f, ws2, sc2 = pick(2)
+    a1, st1f, ws1, sc1, xs1 = pick(1)
+    a2, st2f, ws2, sc2, xs2 = pick(2)
 
     # --- MAPQ: pair-level for proper pairs, SE otherwise ---
     sperf = _score_perfect(l1, params) + _score_perfect(l2, params)
@@ -341,12 +381,12 @@ def pe_map_batch(
     mq1 = jnp.where(proper, mq_pair, mq1_se)
     mq2 = jnp.where(proper, mq_pair, mq2_se)
 
-    def mate_out(a, stf, ws, sc, mq, se, lens):
+    def mate_out(a, stf, ws, sc, mq, xs, se, lens):
         return {
             "aligned": a & (lens > 0), "strand": stf, "win_start": ws,
             "score": sc, "mapq": jnp.where(a, mq, 0),
-            "second": se["second"],
-            "has_second": se["second"] > NEG_INF // 2,
+            "second": xs,
+            "has_second": xs > NEG_INF // 2,
             # SE detail for cross-shard merging (sharded PE)
             "se_best": se["best"], "se_second": se["second"],
             "se_strand": se["strand"], "se_ws": se["win_start"],
@@ -354,8 +394,8 @@ def pe_map_batch(
         }
 
     return (
-        mate_out(a1, st1f, ws1, sc1, mq1, se1, l1),
-        mate_out(a2, st2f, ws2, sc2, mq2, se2, l2),
+        mate_out(a1, st1f, ws1, sc1, mq1, xs1, se1, l1),
+        mate_out(a2, st2f, ws2, sc2, mq2, xs2, se2, l2),
         {"proper": proper, "discordant": discordant & ~proper,
          # pair detail for cross-shard merging: the ladder key is
          # (has_conc, pair score); pair_second only among concordant
@@ -387,9 +427,9 @@ class PairedMapper(Mapper):
             info.extend(pi)
         return out1, out2, info
 
-    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
-        """Launch forward + per-mate traceback device work (async)."""
-        R = s1.shape[0]
+    def _stage_pair_batch(self, s1, l1, q1, s2, l2, q2):
+        """Pad both mates to batch_size and stage device args (shared
+        by the single-index and sharded PE dispatchers)."""
         B = self.params.batch_size
 
         def padto(a, fill):
@@ -405,6 +445,13 @@ class PairedMapper(Mapper):
             jnp.asarray(a.astype(np.int32) if a.dtype != np.int8 else a)
             for a in (s1p, l1p, q1p, s2p, l2p, q2p)
         )
+        return (s1p, l1p, q1p), (s2p, l2p, q2p), args
+
+    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        """Launch forward + per-mate traceback device work (async)."""
+        R = s1.shape[0]
+        (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
+            s1, l1, q1, s2, l2, q2)
         m1, m2, pair = pe_map_batch(
             self.fm, self.ssa, self.genome, *args,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,

@@ -28,10 +28,35 @@ import jax.numpy as jnp
 
 from ..alignment.types import NEG_INF
 from .mapper import (Mapper, MapResult, candidate_stage,
-                     traceback_walk_batch, _score_min, _score_perfect,
+                     traceback_walk_windows, _score_min, _score_perfect,
                      PAD)
 from .mapq import mapq_v2
 from .params import MapperParams
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
+                  params: MapperParams):
+    """Winner-shard traceback in ONE walk: gather each lane's window
+    text from its winning shard's slice (S cheap gathers + selects),
+    then run a single winners-only DP + walk — instead of S full DP
+    walks with host-side selection (S x the device work)."""
+    L = reads.shape[1]
+    LT = L + 2 * params.band_w
+    ar = jnp.arange(LT, dtype=jnp.int32)
+    texts = tlens = None
+    for s in range(len(gs)):
+        wsc = jnp.clip(ws, 0, lengths[s] - 1)
+        t_s = gs[s][wsc[:, None] + ar]
+        tl_s = jnp.clip(lengths[s] - wsc, 0, LT)
+        if texts is None:
+            texts, tlens = t_s, tl_s
+        else:
+            m = shard == s
+            texts = jnp.where(m[:, None], t_s, texts)
+            tlens = jnp.where(m, tl_s, tlens)
+    return traceback_walk_windows(texts, tlens, reads, lens, quals,
+                                  strand, params=params)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
@@ -173,8 +198,14 @@ def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
         wg = jnp.argmax(se_best, axis=0).astype(jnp.int32)
         tG = lambda a: jnp.take_along_axis(a, wg[None, :], axis=0)[0]
         g_best = tG(se_best)
-        others = jnp.where(sid == wg[None, :], NEG_INF, se_best)
-        g_second = jnp.maximum(tG(se_sec), jnp.max(others, axis=0))
+        others_se = jnp.where(sid == wg[None, :], NEG_INF, se_best)
+        sec_se = jnp.maximum(tG(se_sec), jnp.max(others_se, axis=0))
+        # XS for the proper path: the winner shard already excludes its
+        # reported alignment; other shards contribute their SE best
+        others_w = jnp.where(sid == w[None, :], NEG_INF, se_best)
+        sec_rep = jnp.maximum(takeS(m("second")),
+                              jnp.max(others_w, axis=0))
+        g_second = jnp.where(proper, sec_rep, sec_se)
         smin = _score_min(lens, params)
         se_aligned = (g_best >= smin) & (lens > 0)
         strand = jnp.where(proper, takeS(m("strand")), tG(m("se_strand")))
@@ -182,7 +213,7 @@ def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
         score = jnp.where(proper, takeS(m("score")), g_best)
         aligned = jnp.where(proper, True, se_aligned)
         shard = jnp.where(proper, w, wg)
-        mq_se = mapq_v2(g_best, g_second, g_second >= smin, smin,
+        mq_se = mapq_v2(g_best, sec_se, sec_se >= smin, smin,
                         _score_perfect(lens, params))
         mq = jnp.where(proper, mq_pair, mq_se)
         return {
@@ -243,14 +274,7 @@ class ShardedMapper(Mapper):
 
     def _dispatch_chunk(self, seqs, lens, quals):
         R = seqs.shape[0]
-        B = self.params.batch_size
-        if R < B:
-            pad = B - R
-            seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
-                                                 seqs.dtype)])
-            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
-            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
-                                                    quals.dtype)])
+        seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
@@ -263,32 +287,24 @@ class ShardedMapper(Mapper):
             for st in self.shard_state
         ]
         fwd = _sharded_top2(cands, jl, self.params)
-        # traceback against every shard; the winner's stream is picked
-        # host-side in _collect_chunk (S is small)
-        walks = []
-        for st in self.shard_state:
-            n_local = jnp.asarray(st["length"], jnp.int32)
-            res, walk = traceback_walk_batch(
-                st["g"], n_local, jr, jl, jq,
-                fwd["win_start"], fwd["strand"], params=self.params,
-            )
-            walks.append((res, walk))
-        return (seqs, lens, quals, fwd, walks, R)
+        res, walk = _sharded_walk(
+            self._gs, self._glens, fwd["win_start"], fwd["shard"],
+            jr, jl, jq, fwd["strand"], params=self.params,
+        )
+        return (seqs, lens, quals, fwd, walk, R)
+
+    @property
+    def _gs(self):
+        return tuple(st["g"] for st in self.shard_state)
+
+    @property
+    def _glens(self):
+        return tuple(jnp.asarray(st["length"], jnp.int32)
+                     for st in self.shard_state)
 
     def _collect_chunk(self, handle):
-        seqs, lens, quals, fwd, walks, R = handle
+        seqs, lens, quals, fwd, walk, R = handle
         shard = np.asarray(fwd["shard"])
-        # merge per-shard walks by winner
-        opss = [np.asarray(w["ops"]) for _, w in walks]
-        p_starts = [np.asarray(w["p_start"]) for _, w in walks]
-        t_starts = [np.asarray(w["t_start"]) for _, w in walks]
-        sel = lambda arrs: np.stack(arrs, 0)[
-            shard, np.arange(shard.shape[0])]
-        walk = {
-            "ops": sel(opss),
-            "p_start": sel(p_starts),
-            "t_start": sel(t_starts),
-        }
         # globalize win_start on host (int64)
         starts = np.asarray([st["start"] for st in self.shard_state],
                             np.int64)
@@ -316,13 +332,7 @@ class ShardedMapper(Mapper):
     def _map_chunk_all(self, seqs, lens, quals, k):
         R = seqs.shape[0]
         B = self.params.batch_size
-        if R < B:
-            pad = B - R
-            seqs = np.concatenate([seqs, np.full((pad, seqs.shape[1]), PAD,
-                                                 seqs.dtype)])
-            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
-            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]),
-                                                    quals.dtype)])
+        seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
@@ -339,20 +349,12 @@ class ShardedMapper(Mapper):
         rep = lambda a: jnp.repeat(a, K, axis=0)
         ws_flat = fwd["win_start"].reshape(-1)
         st_flat = fwd["strand"].reshape(-1)
-        walks = []
-        for st in self.shard_state:
-            n_local = jnp.asarray(st["length"], jnp.int32)
-            res, walk = traceback_walk_batch(
-                st["g"], n_local, rep(jr), jnp.repeat(jl, K), rep(jq),
-                ws_flat, st_flat, params=self.params,
-            )
-            walks.append(walk)
+        res, walk = _sharded_walk(
+            self._gs, self._glens, ws_flat, fwd["shard"].reshape(-1),
+            rep(jr), jnp.repeat(jl, K), rep(jq), st_flat,
+            params=self.params,
+        )
         shard = np.asarray(fwd["shard"]).reshape(-1)
-        sel = lambda key: np.stack(
-            [np.asarray(w[key]) for w in walks], 0
-        )[shard, np.arange(shard.shape[0])]
-        walk = {"ops": sel("ops"), "p_start": sel("p_start"),
-                "t_start": sel("t_start")}
         starts = np.asarray([s["start"] for s in self.shard_state],
                             np.int64)
         flat_fwd = {
@@ -368,17 +370,7 @@ class ShardedMapper(Mapper):
             np.repeat(seqs, K, axis=0), np.repeat(lens, K),
             np.repeat(quals, K, axis=0), flat_fwd, None, walk,
         )
-        grouped = []
-        for r in range(min(R, B)):
-            alns = [results[r * K + j] for j in range(K)
-                    if results[r * K + j].aligned]
-            seen, uniq = set(), []
-            for a in alns:
-                if (a.pos, a.strand) not in seen:
-                    seen.add((a.pos, a.strand))
-                    uniq.append(a)
-            grouped.append(uniq)
-        return grouped
+        return self._group_all(results, min(R, B), K)
 
 
 class PairedShardedMapper(ShardedMapper):
@@ -412,24 +404,13 @@ class PairedShardedMapper(ShardedMapper):
                     f"max_read_len + 2*band_w + 8 = {need}, got {ov}; "
                     "rebuild the index with --shard-overlap >= that")
 
+    _stage_pair_batch = _PM._stage_pair_batch
+
     def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
         from .paired import pe_map_batch
         R = s1.shape[0]
-        B = self.params.batch_size
-
-        def padto(a, fill):
-            if a.shape[0] >= B:
-                return a
-            pad = np.full((B - a.shape[0],) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, pad])
-
-        s1p, s2p = padto(s1, PAD), padto(s2, PAD)
-        l1p, l2p = padto(l1, 0), padto(l2, 0)
-        q1p, q2p = padto(q1, 0), padto(q2, 0)
-        args = tuple(
-            jnp.asarray(a.astype(np.int32) if a.dtype != np.int8 else a)
-            for a in (s1p, l1p, q1p, s2p, l2p, q2p)
-        )
+        (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
+            s1, l1, q1, s2, l2, q2)
         shard_outs = [
             pe_map_batch(
                 st["fm"], st["ssa"], st["g"], *args,
@@ -445,17 +426,13 @@ class PairedShardedMapper(ShardedMapper):
         walks = []
         for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
                                    (m2, (s2p, l2p, q2p))):
-            per_shard = []
-            for st in self.shard_state:
-                res, walk = traceback_walk_batch(
-                    st["g"], jnp.asarray(st["length"], jnp.int32),
-                    jnp.asarray(sp), jnp.asarray(lp.astype(np.int32)),
-                    jnp.asarray(qp.astype(np.uint8)),
-                    mate["win_start"], mate["strand"],
-                    params=self.params,
-                )
-                per_shard.append(walk)
-            walks.append((mate, per_shard))
+            res, walk = _sharded_walk(
+                self._gs, self._glens, mate["win_start"], mate["shard"],
+                jnp.asarray(sp), jnp.asarray(lp.astype(np.int32)),
+                jnp.asarray(qp.astype(np.uint8)), mate["strand"],
+                params=self.params,
+            )
+            walks.append((mate, walk))
         return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)
 
     def _collect_pair_chunk(self, handle):
@@ -463,14 +440,9 @@ class PairedShardedMapper(ShardedMapper):
         starts = np.asarray([s["start"] for s in self.shard_state],
                             np.int64)
         res1, res2 = [], []
-        for (mate, per_shard), (sp, lp, qp), out in (
+        for (mate, walk), (sp, lp, qp), out in (
                 (walks[0], p1, res1), (walks[1], p2, res2)):
             shard = np.asarray(mate["shard"])
-            rows = np.arange(shard.shape[0])
-            sel = lambda key: np.stack(
-                [np.asarray(w[key]) for w in per_shard], 0)[shard, rows]
-            walk = {"ops": sel("ops"), "p_start": sel("p_start"),
-                    "t_start": sel("t_start")}
             fwd = dict(mate)
             fwd["win_start"] = (starts[shard]
                                 + np.asarray(mate["win_start"]).astype(np.int64))

@@ -76,7 +76,6 @@ def main(argv=None):
         _prefix = _prefix[: -len(".manifest.json")]
     if _os.path.exists(_prefix + ".manifest.json"):
         from ..fmindex.sharded import load_sharded_index
-        from ..models.sharded_mapper import ShardedMapper
 
         sidx, genome_np, man = load_sharded_index(_prefix)
         meta = {"sa_sample": man["sa_sample"], "lut_k": man["lut_k"],

@@ -155,6 +155,54 @@ def test_sharded_paired_matches_single_index(setup):
         assert r1h[i].pos == fs, i
 
 
+def test_sharded_paired_boundary_rescue(setup):
+    """Rescue-only pairs whose reverse-strand anchor sits just right of
+    a shard boundary: the anchor's rescue window extends left past the
+    shard start, so the pair must be rescued by the PREVIOUS shard
+    (anchoring on the unmasked reduction).  Regression for a confirmed
+    round-1 review finding."""
+    from nvbio_tpu.models.paired import PairedMapper
+    from nvbio_tpu.models.sharded_mapper import PairedShardedMapper
+
+    genome, _, _, _, _, _ = setup
+    params = MapperParams(batch_size=64, sa_sample=16, max_candidates=8,
+                          lut_k=8, minins=0, maxins=400)
+    n_pairs, L, ins = 8, 100, 350
+    # mate1 fwd at fs (left of boundary), mate2 rev anchored just right
+    fss = [59_760, 59_700, 119_760, 119_700, 59_810, 119_810,
+           30_000, 90_000]
+    s1 = np.zeros((n_pairs, L), np.uint8)
+    s2 = np.zeros((n_pairs, L), np.uint8)
+    for i, fs in enumerate(fss):
+        m1 = genome[fs:fs + L].copy()
+        # corrupt mate1's seeds so only rescue can place it
+        for k in range(4, L, 12):
+            m1[k] = (m1[k] + 1) % 4
+        s1[i] = m1
+        frag2 = genome[fs + ins - L:fs + ins]
+        s2[i] = np.where(frag2 < 4, 3 - frag2, frag2)[::-1]
+    lens = np.full(n_pairs, L, np.int32)
+    q = np.full((n_pairs, L), 35, np.uint8)
+
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    single = PairedMapper(fm, ssa, genome, params=params,
+                          use_pallas=False)
+    r1s, r2s, infos = single.map_pairs(s1, lens, q, s2, lens, q)
+
+    sidx = build_sharded_index(genome, shard_bp=60_000, overlap=2048,
+                               sa_sample=16, lut_k=8)
+    sh = PairedShardedMapper(sidx, genome, params=params,
+                             use_pallas=False)
+    r1h, r2h, infoh = sh.map_pairs(s1, lens, q, s2, lens, q)
+
+    for i, fs in enumerate(fss):
+        assert infos[i]["proper"], f"single missed pair {i}"
+        assert infoh[i]["proper"], f"sharded missed pair {i} (fs={fs})"
+        assert r1h[i].aligned and r1h[i].pos == r1s[i].pos == fs, i
+        assert (r1h[i].score, r1h[i].mapq, r2h[i].pos) == \
+               (r1s[i].score, r1s[i].mapq, r2s[i].pos), i
+
+
 def test_sharded_paired_overlap_guard(setup):
     from nvbio_tpu.models.sharded_mapper import PairedShardedMapper
 
