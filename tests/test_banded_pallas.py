@@ -27,6 +27,10 @@ def _random_batch(seed):
         texts[b, :n] = pats[b, :n]
         for _ in range(rng.integers(0, 4)):
             texts[b, rng.integers(0, tlens[b])] = rng.integers(0, 4)
+    # N symbols (4) in both operands: the sentinel body must score
+    # them -n_penalty, distinct from the PAD/sentinel symbol (7)
+    pats[rng.random((NB, LP)) < 0.02] = 4
+    texts[rng.random((NB, LT)) < 0.02] = 4
     return pats, plens, quals, texts, tlens
 
 
