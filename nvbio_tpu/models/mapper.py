@@ -45,7 +45,9 @@ from ..alignment import banded_score_batch, banded_directions_batch
 from ..alignment.cigar import cigar_to_string, make_md_string
 from ..alignment.types import NEG_INF, AlignmentType
 from ..fmindex import FMIndex, SSA, backward_search, locate
-from ..ops.banded_dp import banded_score_pallas
+from ..ops.banded_dp import (banded_score_pallas,
+                             banded_score_pallas_packed,
+                             pack_genome_words)
 from ..strings.seeds import extract_uniform_seeds, num_uniform_seeds
 from ..basic.alphabet import dna_to_char
 from ..io.sam import SamRecord, FLAG_UNMAPPED, FLAG_REVERSE
@@ -86,6 +88,7 @@ def extend_candidates(
     *,
     params: MapperParams,
     use_pallas: bool = False,
+    gwords=None,  # 2-bit packed genome (pack_genome_words) fast path
 ):
     """Diagonal dedupe + banded Gotoh extension of located candidates.
 
@@ -119,17 +122,25 @@ def extend_candidates(
 
     # --- extension scoring (banded Gotoh) ---
     win_start = jnp.minimum(cand, jnp.maximum(n - 1, 0)).astype(jnp.int32)
-    gidx = win_start[:, :, None] + jnp.arange(LT, dtype=jnp.int32)
-    texts = genome[gidx.reshape(R2 * C, LT)]
     tlens = jnp.clip(n - win_start, 0, LT).reshape(-1)
     pats = jnp.repeat(all_reads, C, axis=0)
     pquals = jnp.repeat(all_quals, C, axis=0)
     plens = jnp.repeat(lens2, C)
-    score_fn = banded_score_pallas if use_pallas else banded_score_batch
-    res = score_fn(
-        pats, plens, texts, tlens, pquals,
-        scheme=params.scheme, atype=params.atype, band_w=W,
-    )
+    if use_pallas and gwords is not None:
+        # packed-word windows: ~LT/16 gathered elements per candidate
+        # instead of LT (the symbol-window gather dominated this stage)
+        res = banded_score_pallas_packed(
+            pats, plens, gwords, win_start.reshape(-1), tlens, pquals,
+            scheme=params.scheme, atype=params.atype, band_w=W,
+        )
+    else:
+        gidx = win_start[:, :, None] + jnp.arange(LT, dtype=jnp.int32)
+        texts = genome[gidx.reshape(R2 * C, LT)]
+        score_fn = banded_score_pallas if use_pallas else banded_score_batch
+        res = score_fn(
+            pats, plens, texts, tlens, pquals,
+            scheme=params.scheme, atype=params.atype, band_w=W,
+        )
     scores = jnp.where(
         cand_ok.reshape(-1) & (plens > 0), res["score"], NEG_INF
     ).reshape(R2, C)
@@ -163,6 +174,7 @@ def candidate_stage(
     params: MapperParams,
     use_pallas: bool = False,
     lut=None,
+    gwords=None,
 ):
     """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
@@ -250,7 +262,7 @@ def candidate_stage(
 
     return extend_candidates(
         fm, genome, all_reads, all_quals, lens2, cand,
-        params=params, use_pallas=use_pallas,
+        params=params, use_pallas=use_pallas, gwords=gwords,
     )
 
 
@@ -266,6 +278,7 @@ def map_batch(
     params: MapperParams,
     use_pallas: bool = False,
     lut=None,
+    gwords=None,
 ):
     """Forward mapping step: per-read best/second alignments + MAPQ.
 
@@ -274,7 +287,7 @@ def map_batch(
     """
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
-        params=params, use_pallas=use_pallas, lut=lut,
+        params=params, use_pallas=use_pallas, lut=lut, gwords=gwords,
     )
     return top2_finish(cands, lens, params)
 
@@ -500,6 +513,9 @@ class Mapper:
         self._genome_np = gp  # host copy for the native traceback walk
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
+        # 2-bit packed genome for the extension fast path (TPU only)
+        self.gwords = (pack_genome_words(gp[: self.n])
+                       if use_pallas else None)
         self.use_pallas = use_pallas
 
     @staticmethod
@@ -618,6 +634,7 @@ class Mapper:
         return map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
+            gwords=self.gwords,
         )
 
     @staticmethod
@@ -795,7 +812,7 @@ class Mapper:
         fwd = map_all_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, k=k,
-            lut=self.lut,
+            lut=self.lut, gwords=self.gwords,
         )
         K = fwd["score"].shape[1]
         # traceback every slot: flatten (B, K) -> (B*K) pseudo-batch
@@ -857,6 +874,7 @@ def map_all_batch(
     use_pallas: bool = False,
     k: int = 8,
     lut=None,
+    gwords=None,
 ):
     """All-mappings forward step (ref: nvBowtie --all, all_inl.h).
 
@@ -870,7 +888,7 @@ def map_all_batch(
     k = min(k, 2 * C)
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
-        params=params, use_pallas=use_pallas, lut=lut,
+        params=params, use_pallas=use_pallas, lut=lut, gwords=gwords,
     )
     sc = cands["score"]
     order = jnp.argsort(-sc, axis=1)[:, :k]  # (R, k) score-descending

@@ -42,6 +42,7 @@ def mem_map_batch(
     *,
     params: MapperParams,
     use_pallas: bool = False,
+    gwords=None,
 ):
     """Forward MEM-mapping step; same output contract as
     ``mapper.map_batch`` (per-read best/second/strand/mapq)."""
@@ -85,7 +86,7 @@ def mem_map_batch(
     cands = extend_candidates(
         fm, genome, all_reads, all_quals, lens2,
         cand.reshape(2 * R, K * CAP),
-        params=params, use_pallas=use_pallas,
+        params=params, use_pallas=use_pallas, gwords=gwords,
     )
     return top2_finish(cands, lens, params)
 
@@ -98,4 +99,5 @@ class MemMapper(Mapper):
         return mem_map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas,
+            gwords=self.gwords,
         )

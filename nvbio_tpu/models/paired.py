@@ -214,6 +214,7 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
 def pe_map_batch(
     fm, ssa, genome, r1, l1, q1, r2, l2, q2, *,
     params: MapperParams, use_pallas: bool = False, lut=None, span=None,
+    gwords=None,
 ):
     """Paired forward step.  Returns per-mate dicts (aligned, strand,
     win_start, score, mapq, second) + pair-level info (proper,
@@ -229,9 +230,9 @@ def pe_map_batch(
     C = params.max_candidates
     n = fm.n
     c1 = candidate_stage(fm, ssa, genome, r1, l1, q1, params=params,
-                         use_pallas=use_pallas, lut=lut)
+                         use_pallas=use_pallas, lut=lut, gwords=gwords)
     c2 = candidate_stage(fm, ssa, genome, r2, l2, q2, params=params,
-                         use_pallas=use_pallas, lut=lut)
+                         use_pallas=use_pallas, lut=lut, gwords=gwords)
     smin1 = _score_min(l1, params)
     smin2 = _score_min(l2, params)
 
@@ -455,6 +456,7 @@ class PairedMapper(Mapper):
         m1, m2, pair = pe_map_batch(
             self.fm, self.ssa, self.genome, *args,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
+            gwords=self.gwords,
         )
         nj = jnp.asarray(self.n, jnp.int32)
         walks = []

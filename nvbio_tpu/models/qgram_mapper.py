@@ -43,6 +43,7 @@ def qgram_map_batch(
     max_hits: int,
     params: MapperParams,
     use_pallas: bool = False,
+    gwords=None,
 ):
     """Forward q-gram mapping step; same output contract as
     ``mapper.map_batch``."""
@@ -75,7 +76,7 @@ def qgram_map_batch(
 
     cands = extend_candidates(
         fm, genome, all_reads, all_quals, lens2, cand,
-        params=params, use_pallas=use_pallas,
+        params=params, use_pallas=use_pallas, gwords=gwords,
     )
     return top2_finish(cands, lens, params)
 
@@ -98,4 +99,5 @@ class QGramMapper(Mapper):
             self.fm, self.qidx, self.genome, jr, jl, jq,
             q=self.q, stride=self.stride, max_hits=self.max_hits,
             params=self.params, use_pallas=self.use_pallas,
+            gwords=self.gwords,
         )

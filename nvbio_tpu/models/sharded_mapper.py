@@ -30,6 +30,7 @@ from ..alignment.types import NEG_INF
 from .mapper import (Mapper, MapResult, candidate_stage,
                      traceback_walk_windows, _score_min, _score_perfect,
                      PAD)
+from ..ops.banded_dp import pack_genome_words
 from .mapq import mapq_v2
 from .params import MapperParams
 
@@ -61,12 +62,14 @@ def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
 def _shard_all(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
-               params: MapperParams, use_pallas=False, k=8, lut=None):
+               params: MapperParams, use_pallas=False, k=8, lut=None,
+               gwords=None):
     """Per-shard top-k candidates for --all mode (ownership-masked)."""
     C = params.max_candidates
     k = min(k, 2 * C)
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
-                        params=params, use_pallas=use_pallas, lut=lut)
+                        params=params, use_pallas=use_pallas, lut=lut,
+                        gwords=gwords)
     ws = c["win_start"]
     sc = jnp.where((ws >= lo) & (ws < hi), c["score"], NEG_INF)
     order = jnp.argsort(-sc, axis=1)[:, :k]
@@ -103,9 +106,11 @@ def _sharded_all_merge(per_shard, lens, params: MapperParams, k=8):
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def _shard_cands(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
-                 params: MapperParams, use_pallas=False, lut=None):
+                 params: MapperParams, use_pallas=False, lut=None,
+                 gwords=None):
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
-                        params=params, use_pallas=use_pallas, lut=lut)
+                        params=params, use_pallas=use_pallas, lut=lut,
+                        gwords=gwords)
     # ownership interval [lo, hi): alignments starting in the overlap
     # tail belong to the next shard, and window origins clamped to the
     # shard's left edge (local 0, non-first shards) are clipped
@@ -257,9 +262,11 @@ class ShardedMapper(Mapper):
         self.shard_state = []
         for (fm, ssa, lut, start, length) in sidx.shards:
             g_s = jnp.asarray(gp[start : start + length + lt_pad])
+            gw_s = (pack_genome_words(gp[start : start + length])
+                    if self.use_pallas else None)
             self.shard_state.append(dict(
                 fm=fm, ssa=ssa, lut=lut, start=start, length=length,
-                g=g_s,
+                g=g_s, gw=gw_s,
             ))
         # owned span of shard i = next shard's start - this start (or
         # n - start for the last)
@@ -283,7 +290,7 @@ class ShardedMapper(Mapper):
                          jnp.asarray(st["own_lo"], jnp.int32),
                          jnp.asarray(st["own_hi"], jnp.int32),
                          params=self.params, use_pallas=self.use_pallas,
-                         lut=st["lut"])
+                         lut=st["lut"], gwords=st["gw"])
             for st in self.shard_state
         ]
         fwd = _sharded_top2(cands, jl, self.params)
@@ -341,7 +348,7 @@ class ShardedMapper(Mapper):
                        jnp.asarray(st["own_lo"], jnp.int32),
                        jnp.asarray(st["own_hi"], jnp.int32),
                        params=self.params, use_pallas=self.use_pallas,
-                       k=k, lut=st["lut"])
+                       k=k, lut=st["lut"], gwords=st["gw"])
             for st in self.shard_state
         ]
         fwd = _sharded_all_merge(per_shard, jl, self.params, k=k)
@@ -415,7 +422,7 @@ class PairedShardedMapper(ShardedMapper):
             pe_map_batch(
                 st["fm"], st["ssa"], st["g"], *args,
                 params=self.params, use_pallas=self.use_pallas,
-                lut=st["lut"],
+                lut=st["lut"], gwords=st["gw"],
                 span=(jnp.asarray(st["own_lo"], jnp.int32),
                       jnp.asarray(st["own_hi"], jnp.int32)),
             )

@@ -426,6 +426,155 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
     return kernel
 
 
+def _make_kernel32_packed(Lp: int, scheme: GotohScheme,
+                          atype: AlignmentType, band_w: int, BAND: int,
+                          BAND_PAD: int, TB: int, LT_PAD: int, NWP: int):
+    """Packed-text variant of _make_kernel32: the text arrives as 2-bit
+    packed genome words (16 symbols per int32) fetched at each lane's
+    word-aligned window base, plus a per-lane bit offset.  A prologue
+    unpacks into a VMEM scratch (applying the j<0 prefix and j>tlen
+    tail sentinels in place), then the DP body runs unchanged.
+
+    Why: XLA symbol-window gathers cost ~9 ns/element; fetching 16x
+    fewer packed words cuts the extension stage's dominant cost
+    (measured 628 ms -> ~55 ms for 524k windows of 132 symbols)."""
+    inner = _make_kernel32(Lp, scheme, atype, band_w, BAND, BAND_PAD, TB)
+
+    def kernel(pm_ref, mis_ref, wtext_ref, off_ref, plen_ref, tlen_ref,
+               out_ref, text_s):
+        off = off_ref[0:1, :]  # (1, TB) in [0, 16)
+        tlen = tlen_ref[0:1, :]
+        SENT_ROW = jnp.full((1, TB), PAD_SYMBOL, jnp.int32)
+        for r in range(LT_PAD):
+            m = r - band_w  # window-relative text index
+            if m < 0:
+                text_s[r:r + 1, :] = SENT_ROW
+                continue
+            q0 = m >> 4
+            carry = ((m & 15) + off) >= 16
+            w0 = wtext_ref[q0:q0 + 1, :]
+            w1 = wtext_ref[q0 + 1:q0 + 2, :]
+            w = jnp.where(carry, w1, w0)
+            sh = (2 * (((m & 15) + off) & 15)).astype(jnp.int32)
+            val = jax.lax.shift_right_logical(w, sh) & 3
+            text_s[r:r + 1, :] = jnp.where(m >= tlen, SENT_ROW, val)
+        inner(pm_ref, mis_ref, text_s, plen_ref, tlen_ref, out_ref)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "atype", "band_w", "interpret", "tile"),
+)
+def banded_score_pallas_packed(
+    patterns,  # (NB, Lp) symbols
+    plens,  # (NB,)
+    packed,  # (n_words,) int32 2-bit packed genome (16 sym/word)
+    win_start,  # (NB,) int32 window start in symbols
+    tlens,  # (NB,) valid window symbols (clip(n - win_start, 0, LT))
+    quals=None,
+    *,
+    scheme: GotohScheme,
+    atype: AlignmentType,
+    band_w: int,
+    interpret: bool = False,
+    tile: int = 256,
+):
+    """banded_score_pallas over windows of a 2-bit packed genome: the
+    wrapper gathers ~LT/16 packed words per lane (instead of LT
+    symbols) and the kernel unpacks in VMEM.  Bit-identical to the
+    symbol-window path."""
+    NB, Lp = patterns.shape
+    BAND = 2 * band_w + 1
+    BAND_PAD = _band_pad(BAND)
+    Lp8 = (Lp + 7) // 8 * 8
+    tile = _auto_tile(BAND_PAD, Lp8, tile)
+    nb_pad = (NB + tile - 1) // tile * tile
+    LT_PAD = Lp8 + BAND_PAD + 16
+    # words needed: window symbols [0, LT_PAD - band_w) + off<16 + w1 read
+    NWP = ((LT_PAD - band_w + 15) >> 4) + 2
+    NWP = (NWP + 7) // 8 * 8
+    if quals is None:
+        quals = jnp.full((NB, Lp), 40, jnp.int32)
+
+    def prep(x, fill, cols=None):
+        x = x.astype(jnp.int32)
+        pad_cols = (0, 0) if cols is None else (0, cols - x.shape[1])
+        return jnp.pad(x, ((0, nb_pad - NB), pad_cols),
+                       constant_values=fill)
+
+    pats_t = prep(patterns, PAD_SYMBOL, Lp8).T
+    quals_t = prep(quals, 0, Lp8).T
+    ws = jnp.pad(win_start.astype(jnp.int32), (0, nb_pad - NB))
+    base = ws >> 4
+    off_t = (ws & 15)[None, :]
+    n_words = packed.shape[0]
+    widx = jnp.clip(base[None, :] + jnp.arange(NWP, dtype=jnp.int32)[:, None],
+                    0, n_words - 1)
+    wtext_t = packed[widx]  # (NWP, nb_pad) — THE gather, 16x smaller
+    plens_t = prep(plens[:, None], 0).T
+    tlens_t = prep(tlens[:, None], 0).T
+
+    # same hot-loop precomputes as the staged path
+    worst = scheme.gap_open + (Lp8 + BAND) * max(
+        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+        abs(scheme.match))
+    assert worst < -SCORE_FLOOR
+    assert Lp8 * (SENT_S + 64) < (1 << 30)
+    pm_t = jnp.where(pats_t >= 4, 9, pats_t)
+    mmq = scheme.mismatch_min + (
+        (scheme.mismatch_max - scheme.mismatch_min)
+        * jnp.minimum(quals_t, 40)) // 40
+    mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+
+    kernel = _make_kernel32_packed(Lp8, scheme, atype, band_w, BAND,
+                                   BAND_PAD, tile, LT_PAD, NWP)
+    grid = (nb_pad // tile,)
+    bspec = lambda rows: pl.BlockSpec(
+        (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nb_pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            bspec(Lp8),  # pm
+            bspec(Lp8),  # mis
+            bspec(NWP),  # packed words
+            bspec(1),  # bit offsets
+            bspec(1),  # plens
+            bspec(1),  # tlens
+        ],
+        out_specs=bspec(8),
+        scratch_shapes=[pltpu.VMEM((LT_PAD, tile), jnp.int32)],
+        interpret=interpret,
+    )(pm_t, mis_t, wtext_t, off_t, plens_t, tlens_t)
+    return {
+        "score": out[0][:NB],
+        "p_end": out[1][:NB],
+        "t_end": out[2][:NB],
+    }
+
+
+def pack_genome_words(symbols) -> "jnp.ndarray":
+    """2-bit pack genome symbols (values 0..3; N already substituted at
+    build time, ref: nvBWT) into int32 words, 16 symbols each, for
+    banded_score_pallas_packed.  Out-of-genome padding packs as 3 —
+    callers mask validity via tlens (the kernel sentinels j >= tlen)."""
+    import numpy as _np
+    s = _np.asarray(symbols)
+    n = s.shape[0]
+    nw = (n + 15) // 16
+    s16 = _np.zeros(nw * 16, _np.uint32)
+    s16[:n] = _np.where(s[:n] < 4, s[:n], 3).astype(_np.uint32)
+    s16 = s16.reshape(nw, 16)
+    w = _np.zeros(nw, _np.uint32)
+    for r in range(16):
+        w |= s16[:, r] << _np.uint32(2 * r)
+    return jnp.asarray(w.view(_np.int32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scheme", "atype", "band_w", "interpret", "tile",

@@ -100,6 +100,41 @@ def test_pallas_wide_band_matches_xla():
                                   np.asarray(ref["t_end"])[ok])
 
 
+def test_pallas_packed_text_matches_symbol_path():
+    """The packed-genome window path (2-bit words + in-kernel unpack,
+    used by the mapper's extension stage) must be bit-identical to the
+    symbol-window path, including genome-end windows."""
+    from nvbio_tpu.ops.banded_dp import (banded_score_pallas_packed,
+                                         pack_genome_words)
+    rng = np.random.default_rng(3)
+    n, NB, lp, w = 30_000, 200, 100, 15
+    lt = lp + 2 * w
+    genome = rng.integers(0, 4, n).astype(np.int8)
+    packed = pack_genome_words(genome)
+    ws = rng.integers(0, n - 10, NB).astype(np.int32)  # incl. near-end
+    gpad = np.concatenate([genome, np.full(lt, 7, np.int8)])
+    texts = np.stack([gpad[s:s + lt] for s in ws])
+    pats = np.zeros((NB, lp), np.int8)
+    for b in range(NB):
+        seg = genome[ws[b]:ws[b] + lp]
+        pats[b, :len(seg)] = seg
+        for _ in range(3):
+            pats[b, rng.integers(0, lp)] = rng.integers(0, 4)
+    plens = np.full(NB, lp, np.int32)
+    tlens = np.clip(n - ws, 0, lt).astype(np.int32)
+    quals = rng.integers(0, 42, (NB, lp)).astype(np.int32)
+    kw = dict(scheme=GotohScheme(), atype=AlignmentType.SEMI_GLOBAL,
+              band_w=w, interpret=True)
+    a = banded_score_pallas(
+        jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(texts),
+        jnp.asarray(tlens), jnp.asarray(quals), **kw)
+    b = banded_score_pallas_packed(
+        jnp.asarray(pats), jnp.asarray(plens), packed, jnp.asarray(ws),
+        jnp.asarray(tlens), jnp.asarray(quals), **kw)
+    for k in ("score", "p_end", "t_end"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_pallas_int16_opt_in_matches_xla():
     """The int16 compute-dtype variant (opt-in; for TPU generations
     with int16 vector compares) must match the XLA twin on reachable
