@@ -163,6 +163,35 @@ def both_strands(reads, lens, quals):
     return all_reads, all_quals, lens2
 
 
+def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int):
+    """SSA-locate only the valid rows of a (N, K) budget matrix.
+
+    The SSA walk is the mapper's dominant gather cost and most budget
+    slots are empty (measured ~10% valid on 1% -error reads: the
+    reverse strand of a read rarely hits at all).  Valid rows are
+    compacted SLOT-RANK-MAJOR (every lane's rank-j hits before any
+    lane's rank-j+1) into a `capacity`-row dense array, walked once,
+    and scattered back.  On overflow the globally least-prioritized
+    slots are dropped (ok returned False) — the same effort-budget
+    semantics as ``max_locate`` (ref: nvBowtie max_effort).
+
+    Returns (pos (N, K) int32 — valid only where ok_out, ok_out).
+    """
+    N, K = rows.shape
+    okT = ok.T.reshape(-1)  # slot-rank-major
+    rowsT = rows.T.reshape(-1)
+    cpos = jnp.cumsum(okT.astype(jnp.int32)) - 1
+    keep = okT & (cpos < capacity)
+    comp_rows = jnp.zeros(capacity, jnp.int32).at[
+        jnp.where(keep, cpos, capacity)
+    ].set(rowsT, mode="drop")
+    comp_pos = locate(fm, ssa, comp_rows, k_sample=k_sample)
+    pos_flat = jnp.where(
+        keep, comp_pos[jnp.minimum(cpos, capacity - 1)], 0
+    )
+    return (pos_flat.reshape(K, N).T, keep.reshape(K, N).T)
+
+
 def candidate_stage(
     fm: FMIndex,
     ssa: SSA,
@@ -225,12 +254,12 @@ def candidate_stage(
     offs_flat = jnp.broadcast_to(
         offsets[None, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
     offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
-    pos = locate(
-        fm, ssa, jnp.clip(rows_sel, 0, n).reshape(-1),
-        k_sample=params.sa_sample,
-    ).reshape(2 * R, KLOC)
+    pos, ok_loc = locate_compact(
+        fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
+        k_sample=params.sa_sample, capacity=max(2 * R * KLOC // 4, 512),
+    )
     SENT = n + 2 * L + 1
-    cand = jnp.where(ok_sel, pos - offs_sel, SENT)
+    cand = jnp.where(ok_loc, pos - offs_sel, SENT)
     cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
 
     if params.seed_mismatches >= 1:
@@ -250,10 +279,15 @@ def candidate_stage(
         tv = jnp.arange(CAPV, dtype=jnp.int32)
         rows_v = vlo[..., None] + tv  # (2R, S, Ls*4, CAPV)
         ok_v = tv < use_v[..., None]
-        pos_v = locate(
-            fm, ssa, jnp.clip(rows_v, 0, n).reshape(-1),
+        KV = S * Ls * 4 * CAPV
+        pos_v, ok_v2 = locate_compact(
+            fm, ssa, jnp.clip(rows_v, 0, n).reshape(2 * R, KV),
+            ok_v.reshape(2 * R, KV),
             k_sample=params.sa_sample,
-        ).reshape(rows_v.shape)
+            capacity=max(2 * R * KV // 8, 512),
+        )
+        pos_v = pos_v.reshape(rows_v.shape)
+        ok_v = ok_v2.reshape(rows_v.shape)
         cand_v = jnp.where(ok_v, pos_v - offsets[None, :, None, None],
                            SENT)
         cand_v = jnp.where(cand_v < 0, 0, cand_v)
