@@ -19,8 +19,12 @@ def main(argv=None):
     )
     p.add_argument("fasta", help="reference FASTA (.fa/.fa.gz)")
     p.add_argument("output", help="output index (.npz)")
-    p.add_argument("--sa-sample", type=int, default=32,
-                   help="SA sampling rate (nvSSA K)")
+    p.add_argument("--sa-sample", type=int, default=4,
+                   help="SA sampling rate (nvSSA K): the locate walk "
+                        "does <K LF steps per hit, so smaller is "
+                        "faster at ~4/K bytes-per-bp of extra SSA "
+                        "memory (K=4 halves the mapper's locate cost "
+                        "vs 8; raise for memory-tight HBM)")
     p.add_argument("--n-seed", type=int, default=7,
                    help="RNG seed for ambiguous-base substitution")
     p.add_argument("--pac", help="also write a BWA-layout .pac here")
