@@ -407,10 +407,10 @@ def unpack_dirs(packed: np.ndarray, band: int) -> np.ndarray:
     return dirs[:, :, :band]
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def traceback_walk_batch(
     genome, n, reads, lens, quals, win_start, strand, *,
-    params: MapperParams
+    params: MapperParams, use_pallas: bool = False
 ):
     """Winners-only DP + ON-DEVICE traceback walk.
 
@@ -430,16 +430,20 @@ def traceback_walk_batch(
     texts = genome[gidx]
     tlens = jnp.clip(n - win_start, 0, LT)
     return traceback_walk_windows(texts, tlens, reads, lens, quals,
-                                  strand, params=params)
+                                  strand, params=params,
+                                  use_pallas=use_pallas)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def traceback_walk_windows(
-    texts, tlens, reads, lens, quals, strand, *, params: MapperParams
+    texts, tlens, reads, lens, quals, strand, *, params: MapperParams,
+    use_pallas: bool = False
 ):
     """Core of traceback_walk_batch over pre-gathered window texts
     (shape (R, L + 2*band_w)).  Sharded mappers gather each lane's
-    winner-shard window first, so ONE walk serves all shards."""
+    winner-shard window first, so ONE walk serves all shards.  With
+    use_pallas the winners DP + flag emission run as one Pallas pass
+    (banded_directions_pallas) instead of the XLA scan twin."""
     R, L = reads.shape
     W = params.band_w
     BAND = 2 * W + 1
@@ -447,11 +451,23 @@ def traceback_walk_windows(
     rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
     pats = jnp.where(strand[:, None] == 1, rc_reads, reads)
     pquals = jnp.where(strand[:, None] == 1, rc_quals, quals)
-    res, dirs = banded_directions_batch(
-        pats, lens, texts, tlens, pquals,
-        scheme=params.scheme, atype=params.atype, band_w=W,
-    )
-    dirs_flat = dirs.reshape(R, L * BAND).astype(jnp.int32)
+    if use_pallas:
+        from ..ops.banded_dp import banded_directions_pallas
+
+        res, dirs_flat, STRIDE = banded_directions_pallas(
+            pats, lens, texts, tlens, pquals,
+            scheme=params.scheme, atype=params.atype, band_w=W,
+        )
+        LPS = dirs_flat.shape[1]
+    else:
+        res, dirs = banded_directions_batch(
+            pats, lens, texts, tlens, pquals,
+            scheme=params.scheme, atype=params.atype, band_w=W,
+        )
+        STRIDE = BAND
+        dirs_flat = dirs.reshape(R, L * BAND)
+        LPS = L * BAND
+    dirs_flat = dirs_flat.astype(jnp.int32)
 
     MAX = 2 * (2 * L + BAND)
     MAX = (MAX + 3) // 4 * 4
@@ -460,13 +476,18 @@ def traceback_walk_windows(
     st0 = jnp.zeros((R,), jnp.int32)  # 0=H 1=E 2=F
     done0 = jnp.zeros((R,), bool)
 
-    def step(carry, _):
-        i, k, st, done = carry
-        idx = jnp.clip((i - 1) * BAND + k, 0, L * BAND - 1)
+    def step_body(carry):
+        i, k, st, done, t, ops_seq = carry
+        idx = jnp.clip((i - 1) * STRIDE + k, 0, LPS - 1)
         flag = jnp.take_along_axis(dirs_flat, idx[:, None], axis=1)[:, 0]
         f = flag & 3
         is_h = st == 0
         fin = is_h & ((i == 0) | (f == 3))  # ORIGIN
+        # bound guards: genuine paths keep 0 <= k < BAND and i >= 0,
+        # but garbage lanes (unaligned reads; results discarded) can
+        # stall in the E state and would otherwise pin the while-loop
+        # at its MAX bound
+        fin = fin | (k < 0) | (k >= STRIDE) | (i < 0)
         done = done | fin
         act = ~done
         h_diag = is_h & (f == 0) & act
@@ -483,10 +504,18 @@ def traceback_walk_windows(
         nst = jnp.where(h_to_e, 1,
                         jnp.where(h_to_f, 2,
                                   jnp.where(e_done | f_done, 0, st)))
-        return (ni, nk, nst, done), op.astype(jnp.uint8)
+        ops_seq = jax.lax.dynamic_update_slice(
+            ops_seq, op.astype(jnp.uint8)[None, :], (t, 0))
+        return (ni, nk, nst, done, t + 1, ops_seq)
 
-    (fi, fk, _, _), ops_seq = jax.lax.scan(
-        step, (i0, k0, st0, done0), None, length=MAX
+    # while-loop with an all-done exit: walks provably advance i or k
+    # every <=2 steps, so typical batches finish in ~L+indels steps —
+    # far below the MAX bound the old full-length scan always paid
+    (fi, fk, _, _, _, ops_seq) = jax.lax.while_loop(
+        lambda c: (c[4] < MAX) & ~jnp.all(c[3]),
+        step_body,
+        (i0, k0, st0, done0, jnp.int32(0),
+         jnp.zeros((MAX, R), jnp.uint8)),
     )
     ops = ops_seq.T  # (R, MAX) walk order (end -> start)
     packed = (
@@ -618,6 +647,7 @@ class Mapper:
         res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
+            use_pallas=self.use_pallas,
         )
         return (seqs, lens, quals, fwd, res, walk, R)
 
@@ -855,7 +885,7 @@ class Mapper:
             self.genome, jnp.asarray(self.n, jnp.int32),
             rep(jr), jnp.repeat(jl, K), rep(jq),
             fwd["win_start"].reshape(-1), fwd["strand"].reshape(-1),
-            params=self.params,
+            params=self.params, use_pallas=self.use_pallas,
         )
         flat_fwd = {
             "aligned": np.asarray(fwd["valid"]).reshape(-1),

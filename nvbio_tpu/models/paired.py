@@ -467,6 +467,7 @@ class PairedMapper(Mapper):
                 jnp.asarray(lp.astype(np.int32)),
                 jnp.asarray(qp.astype(np.uint8)),
                 mate["win_start"], mate["strand"], params=self.params,
+                use_pallas=self.use_pallas,
             )
             walks.append((mate, res, walk))
         return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)

@@ -35,9 +35,9 @@ from .mapq import mapq_v2
 from .params import MapperParams
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
-                  params: MapperParams):
+                  params: MapperParams, use_pallas: bool = False):
     """Winner-shard traceback in ONE walk: gather each lane's window
     text from its winning shard's slice (S cheap gathers + selects),
     then run a single winners-only DP + walk — instead of S full DP
@@ -57,7 +57,8 @@ def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
             texts = jnp.where(m[:, None], t_s, texts)
             tlens = jnp.where(m, tl_s, tlens)
     return traceback_walk_windows(texts, tlens, reads, lens, quals,
-                                  strand, params=params)
+                                  strand, params=params,
+                                  use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
@@ -297,6 +298,7 @@ class ShardedMapper(Mapper):
         res, walk = _sharded_walk(
             self._gs, self._glens, fwd["win_start"], fwd["shard"],
             jr, jl, jq, fwd["strand"], params=self.params,
+            use_pallas=self.use_pallas,
         )
         return (seqs, lens, quals, fwd, walk, R)
 
@@ -359,7 +361,7 @@ class ShardedMapper(Mapper):
         res, walk = _sharded_walk(
             self._gs, self._glens, ws_flat, fwd["shard"].reshape(-1),
             rep(jr), jnp.repeat(jl, K), rep(jq), st_flat,
-            params=self.params,
+            params=self.params, use_pallas=self.use_pallas,
         )
         shard = np.asarray(fwd["shard"]).reshape(-1)
         starts = np.asarray([s["start"] for s in self.shard_state],
@@ -437,7 +439,7 @@ class PairedShardedMapper(ShardedMapper):
                 self._gs, self._glens, mate["win_start"], mate["shard"],
                 jnp.asarray(sp), jnp.asarray(lp.astype(np.int32)),
                 jnp.asarray(qp.astype(np.uint8)), mate["strand"],
-                params=self.params,
+                params=self.params, use_pallas=self.use_pallas,
             )
             walks.append((mate, walk))
         return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)

@@ -291,7 +291,8 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
     cd = jnp.int32
     CH = 8
 
-    def kernel(pm_ref, mis_ref, text_ref, plen_ref, tlen_ref, out_ref):
+    def kernel(pm_ref, mis_ref, text_ref, plen_ref, tlen_ref, out_ref,
+               dirs_ref=None):
         NEG = jnp.asarray(NEG_INF, cd)
         krange = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, TB), 0)
         in_band = krange < BAND
@@ -328,20 +329,40 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             )
             up_H = _shift_down(H, NEG)
             up_F = _shift_down(F, NEG)
-            F_new = jnp.maximum(up_H - (go + ge), up_F - ge)
-            Hhat = jnp.maximum(H + s, F_new)
+            f_open = up_H - (go + ge)
+            F_new = jnp.maximum(f_open, up_F - ge)
+            Hdiag = H + s
+            Hhat = jnp.maximum(Hdiag, F_new)
             if is_local:
                 Hhat = jnp.maximum(Hhat, 0)
             # weighted cummax (Kogge-Stone along the band)
-            Ew = _shift_up_by(Hhat, 1, NEG) + ksub
+            Ew0 = _shift_up_by(Hhat, 1, NEG) + ksub
+            Ew = Ew0
             d = 1
             while d < BAND_PAD:
                 Ew = jnp.maximum(Ew, _shift_up_by(Ew, d, NEG))
                 d *= 2
-            H_new = jnp.maximum(Hhat, Ew - kk)
+            E_new = Ew - kk
+            H_new = jnp.maximum(Hhat, E_new)
             if is_local:
                 H_new = jnp.maximum(H_new, 0)
             H_new = jnp.where(in_band, H_new, NEG)
+
+            if dirs_ref is not None:
+                # traceback flags, matching banded_directions_batch for
+                # every walk-reachable cell (bits 0-1: H source; bit 2:
+                # E open; bit 3: F open)
+                flag = jnp.where(
+                    H_new == Hdiag, 0,
+                    jnp.where(H_new == E_new, 1, 2))
+                if is_local:
+                    flag = jnp.where(H_new <= 0, 3, flag)
+                dirs_row = (flag
+                            | ((Ew == Ew0).astype(jnp.int32) << 2)
+                            | ((F_new == f_open).astype(jnp.int32) << 3))
+                base = pl.multiple_of(i0 * BAND_PAD, BAND_PAD)
+                dirs_ref[pl.ds(base, BAND_PAD), :] = dirs_row.astype(
+                    jnp.uint8)
 
             row = i0 + 1
             if is_local:
@@ -555,6 +576,98 @@ def banded_score_pallas_packed(
         "p_end": out[1][:NB],
         "t_end": out[2][:NB],
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "atype", "band_w", "interpret", "tile"),
+)
+def banded_directions_pallas(
+    patterns,  # (NB, Lp)
+    plens,
+    texts,  # (NB, Lt)
+    tlens,
+    quals=None,
+    *,
+    scheme: GotohScheme,
+    atype: AlignmentType,
+    band_w: int,
+    interpret: bool = False,
+    tile: int = 256,
+):
+    """Pallas twin of ``alignment.banded_directions_batch``: one pass
+    emits the score sinks AND the per-cell traceback flag matrix
+    (uint8, walk-compatible semantics — see the kernel's dirs block).
+
+    Returns (res dict, dirs (NB, Lp8 * BAND_PAD) uint8, BAND_PAD):
+    the walk indexes flags at (i-1) * BAND_PAD + k."""
+    NB, Lp = patterns.shape
+    Lt = texts.shape[1]
+    BAND = 2 * band_w + 1
+    # u8 stores need 32-aligned sublane offsets
+    BAND_PAD = (max(32, _band_pad(BAND)) + 31) // 32 * 32
+    Lp8 = (Lp + 7) // 8 * 8
+    tile = _auto_tile(BAND_PAD, Lp8, tile)
+    nb_pad = (NB + tile - 1) // tile * tile
+    if quals is None:
+        quals = jnp.full((NB, Lp), 40, jnp.int32)
+
+    def prep(x, fill, cols=None):
+        x = x.astype(jnp.int32)
+        pad_cols = (0, 0) if cols is None else (0, cols - x.shape[1])
+        return jnp.pad(x, ((0, nb_pad - NB), pad_cols),
+                       constant_values=fill)
+
+    pats_t = prep(patterns, PAD_SYMBOL, Lp8).T
+    quals_t = prep(quals, 0, Lp8).T
+    LT_PAD = Lp8 + BAND_PAD + 16
+    texts_p = jnp.pad(
+        prep(texts, PAD_SYMBOL),
+        ((0, 0), (band_w, max(0, LT_PAD - band_w - Lt))),
+        constant_values=PAD_SYMBOL,
+    )[:, :LT_PAD]
+    texts_t = texts_p.T
+    plens_t = prep(plens[:, None], 0).T
+    tlens_t = prep(tlens[:, None], 0).T
+    m = jnp.arange(LT_PAD, dtype=jnp.int32)[:, None] - band_w
+    texts_t = jnp.where(m >= tlens_t, PAD_SYMBOL, texts_t)
+
+    worst = scheme.gap_open + (Lp8 + BAND) * max(
+        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+        abs(scheme.match))
+    assert worst < -SCORE_FLOOR
+    assert Lp8 * (SENT_S + 64) < (1 << 30)
+    pm_t = jnp.where(pats_t >= 4, 9, pats_t)
+    mmq = scheme.mismatch_min + (
+        (scheme.mismatch_max - scheme.mismatch_min)
+        * jnp.minimum(quals_t, 40)) // 40
+    mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+
+    kernel = _make_kernel32(Lp8, scheme, atype, band_w, BAND, BAND_PAD,
+                            tile)
+    grid = (nb_pad // tile,)
+    bspec = lambda rows: pl.BlockSpec(
+        (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM
+    )
+    out, dirs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((Lp8 * BAND_PAD, nb_pad), jnp.uint8),
+        ),
+        grid=grid,
+        in_specs=[
+            bspec(Lp8), bspec(Lp8), bspec(LT_PAD), bspec(1), bspec(1),
+        ],
+        out_specs=(bspec(8), bspec(Lp8 * BAND_PAD)),
+        interpret=interpret,
+    )(pm_t, mis_t, texts_t, plens_t, tlens_t)
+    res = {
+        "score": out[0][:NB],
+        "p_end": out[1][:NB],
+        "t_end": out[2][:NB],
+    }
+    return res, dirs.T[:NB], BAND_PAD
 
 
 def pack_genome_words(symbols) -> "jnp.ndarray":

@@ -135,6 +135,84 @@ def test_pallas_packed_text_matches_symbol_path():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
+def _np_walk(dirs_flat, stride, p_end, t_end, w, max_steps=600):
+    """Reference traceback walk (mirrors traceback_walk_windows.step)."""
+    i, k, st = int(p_end), int(t_end) - int(p_end) + w, 0
+    ops = []
+    for _ in range(max_steps):
+        if st == 0 and i == 0:
+            break
+        flag = int(dirs_flat[(i - 1) * stride + k])
+        f = flag & 3
+        if st == 0:
+            if f == 3:
+                break
+            if f == 0:
+                ops.append("M"); i -= 1
+            elif f == 1:
+                st = 1
+            else:
+                st = 2
+        elif st == 1:
+            ops.append("I"); k -= 1
+            if (flag >> 2) & 1:
+                st = 0
+        else:
+            ops.append("D"); i -= 1; k += 1
+            if (flag >> 3) & 1:
+                st = 0
+    return "".join(ops), i, k
+
+
+def test_pallas_directions_match_xla_walk():
+    """The one-pass Pallas directions kernel must produce the same
+    traceback walks (op streams + start cells) as the XLA twin."""
+    from nvbio_tpu.ops.banded_dp import banded_directions_pallas
+    from nvbio_tpu.alignment.batched import banded_directions_batch
+    scheme, atype = GotohScheme(), AlignmentType.SEMI_GLOBAL
+    w = 7
+    lp, lt, nb = 24, 38, 96
+    rng = np.random.default_rng(21)
+    plens = rng.integers(8, lp + 1, nb).astype(np.int32)
+    tlens = rng.integers(16, lt + 1, nb).astype(np.int32)
+    pats = rng.integers(0, 4, (nb, lp)).astype(np.int8)
+    quals = rng.integers(0, 42, (nb, lp)).astype(np.int32)
+    texts = rng.integers(0, 4, (nb, lt)).astype(np.int8)
+    for b in range(nb):  # plant with 0-2 indels + mismatches
+        p = list(pats[b][:plens[b]])
+        for _ in range(rng.integers(0, 3)):
+            if rng.random() < 0.5 and len(p) > 4:
+                del p[rng.integers(0, len(p))]
+            else:
+                p.insert(rng.integers(0, len(p)), rng.integers(0, 4))
+        texts[b, :min(len(p), tlens[b])] = p[:tlens[b]]
+        for _ in range(rng.integers(0, 3)):
+            texts[b, rng.integers(0, tlens[b])] = rng.integers(0, 4)
+    args = (jnp.asarray(pats), jnp.asarray(plens), jnp.asarray(texts),
+            jnp.asarray(tlens), jnp.asarray(quals))
+    kw = dict(scheme=scheme, atype=atype, band_w=w)
+    res_x, dirs_x = banded_directions_batch(*args, **kw)
+    res_p, dirs_p, stride_p = banded_directions_pallas(
+        *args, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(res_p["score"]),
+                                  np.asarray(res_x["score"]))
+    BAND = 2 * w + 1
+    dx = np.asarray(dirs_x).reshape(nb, -1)
+    dp = np.asarray(dirs_p)
+    smin = -0.6 - 0.6 * plens
+    n_checked = 0
+    for b in range(nb):
+        if int(np.asarray(res_x["score"])[b]) < smin[b]:
+            continue
+        wx = _np_walk(dx[b], BAND, np.asarray(res_x["p_end"])[b],
+                      np.asarray(res_x["t_end"])[b], w)
+        wp = _np_walk(dp[b], stride_p, np.asarray(res_p["p_end"])[b],
+                      np.asarray(res_p["t_end"])[b], w)
+        assert wx == wp, f"lane {b}: {wx} != {wp}"
+        n_checked += 1
+    assert n_checked >= nb // 2
+
+
 def test_pallas_int16_opt_in_matches_xla():
     """The int16 compute-dtype variant (opt-in; for TPU generations
     with int16 vector compares) must match the XLA twin on reachable
