@@ -24,12 +24,13 @@ formatting:
 
 The ``Mapper`` class wires index + genome + params and produces SAM.
 
-Perf notes (measured on one v5e chip, 20 Mbp index, 100 bp reads):
-length-bucketing the batch, the rarity-first locate budget
-(``max_locate``), sa_sample=8, the fused-gather LF walk, the device
-traceback walk and the native string builder took end-to-end mapping
-from ~210 to ~6400 reads/s/chip through a slow host<->device tunnel
-(device-bound portion is far lower on directly-attached hosts).
+Perf notes (measured on one v5e chip, 20 Mbp index, 100 bp reads;
+BENCHMARKS.md has the per-step table): length bucketing, the
+rarity-first locate budget, the fused-gather LF walk, packed-genome
+extension windows (banded_score_pallas_packed), the compacted SSA
+locate (locate_compact), sa_sample=4 indexes, the one-pass Pallas
+directions kernel and the early-exit traceback walk put the
+device-side pipeline at ~17k reads/s/chip (SE, batch 16384).
 """
 
 from __future__ import annotations
