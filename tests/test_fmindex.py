@@ -175,3 +175,41 @@ def test_mapper_with_lut_identical_results():
     for a, b in zip(r0, r1):
         assert (a.aligned, a.pos, a.strand, a.cigar, a.score, a.mapq) == \
                (b.aligned, b.pos, b.strand, b.cigar, b.score, b.mapq)
+
+
+def test_locate_compact_matches_direct_and_overflow():
+    """locate_compact == direct locate for every kept slot; on
+    capacity overflow the globally least-prioritized slots (highest
+    slot-rank) are dropped, never mid-rank ones."""
+    from nvbio_tpu.fmindex.index import locate
+    from nvbio_tpu.models.mapper import locate_compact
+
+    from nvbio_tpu.utils.simulate import random_genome as _rg
+    genome = _rg(30_000, seed=71)
+    fm, ssa = build_fm_index(genome, sa_sample=8)
+    rng = np.random.default_rng(72)
+    N, K = 256, 16
+    rows = jnp.asarray(rng.integers(0, 30_000, (N, K), dtype=np.int32))
+    ok = jnp.asarray(rng.random((N, K)) < 0.3)
+    direct = np.asarray(locate(fm, ssa, rows.reshape(-1), k_sample=8)
+                        ).reshape(N, K)
+    # ample capacity: every valid slot located, values equal
+    pos, kept = locate_compact(fm, ssa, rows, ok, k_sample=8,
+                               capacity=N * K)
+    kept = np.asarray(kept)
+    np.testing.assert_array_equal(kept, np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(pos)[kept], direct[kept])
+    # tight capacity: kept is a slot-rank-prefix of ok (rank-major)
+    cap = int(np.asarray(ok).sum()) // 2
+    pos2, kept2 = locate_compact(fm, ssa, rows, ok, k_sample=8,
+                                 capacity=cap)
+    kept2 = np.asarray(kept2)
+    assert kept2.sum() == cap
+    assert (kept2 <= np.asarray(ok)).all()
+    okT = np.asarray(ok).T.reshape(-1)
+    keptT = kept2.T.reshape(-1)
+    # the kept set is exactly the first `cap` valid slots in rank-major
+    # order
+    np.testing.assert_array_equal(
+        np.nonzero(keptT)[0], np.nonzero(okT)[0][:cap])
+    np.testing.assert_array_equal(np.asarray(pos2)[kept2], direct[kept2])
