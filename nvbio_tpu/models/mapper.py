@@ -255,9 +255,10 @@ def candidate_stage(
     offs_flat = jnp.broadcast_to(
         offsets[None, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
     offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
+    capacity = max(int(2 * R * KLOC * params.locate_frac) // 8 * 8, 512)
     pos, ok_loc = locate_compact(
         fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
-        k_sample=params.sa_sample, capacity=max(2 * R * KLOC // 4, 512),
+        k_sample=params.sa_sample, capacity=capacity,
     )
     SENT = n + 2 * L + 1
     cand = jnp.where(ok_loc, pos - offs_sel, SENT)
@@ -285,7 +286,8 @@ def candidate_stage(
             fm, ssa, jnp.clip(rows_v, 0, n).reshape(2 * R, KV),
             ok_v.reshape(2 * R, KV),
             k_sample=params.sa_sample,
-            capacity=max(2 * R * KV // 8, 512),
+            capacity=max(int(2 * R * KV * params.mm_locate_frac)
+                         // 8 * 8, 512),
         )
         pos_v = pos_v.reshape(rows_v.shape)
         ok_v = ok_v2.reshape(rows_v.shape)

@@ -40,8 +40,18 @@ class MapperParams:
     # MEM seeding (nvMem pipeline; BWA-MEM-style defaults)
     min_mem_len: int = 19
     max_smems: int = 8
-    # index
-    sa_sample: int = 32
+    # index.  MUST be >= the K the index was built with (the CLI wires
+    # it from the index metadata; direct-API users: a smaller value
+    # silently corrupts locate positions).  Matches build_index's
+    # --sa-sample default.
+    sa_sample: int = 4
+    # cross-batch locate compaction budgets as fractions of the
+    # (2R x max_locate) / 1-mismatch slot matrices (models/mapper.py
+    # locate_compact): 1.0 locates every selected slot (pre-compaction
+    # semantics); smaller is faster and drops the globally
+    # least-prioritized hits first on hit-dense (repetitive) batches
+    locate_frac: float = 0.25
+    mm_locate_frac: float = 0.125
     # paired-end (bowtie2 --minins/--maxins, FR orientation default)
     minins: int = 0
     maxins: int = 500

@@ -52,15 +52,38 @@ def _band_pad(BAND: int) -> int:
     return max(8, (BAND + 7) // 8 * 8)
 
 
-def _auto_tile(BAND_PAD: int, Lp8: int, tile: int) -> int:
+def _auto_tile(BAND_PAD: int, Lp8: int, tile: int,
+               extra_rows: int = 0) -> int:
     """Shrink the lane tile for wide bands so the VMEM working set
-    (state + staged text, double-buffered inputs) stays under budget."""
+    (state + staged text, double-buffered inputs, plus `extra_rows`
+    int32-row-equivalents for variant-specific blocks: the packed
+    unpack scratch or the uint8 dirs output) stays under budget."""
     while tile > 128:
-        rows = 7 * BAND_PAD + 3 * Lp8 + BAND_PAD + 16
+        rows = 7 * BAND_PAD + 3 * Lp8 + BAND_PAD + 16 + extra_rows
         if rows * tile * 4 <= 8 * 1024 * 1024:
             break
         tile //= 2
     return tile
+
+
+def _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND):
+    """Shared wrapper prologue: sentinel-body guards + the pm/mis hot-
+    loop input tiles (pattern N/pad rows -> 9; quality-aware mismatch
+    penalty with pattern-N folded in).  One definition keeps the
+    score, packed and directions paths' scheme semantics in lockstep."""
+    worst = scheme.gap_open + (Lp8 + BAND) * max(
+        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+        abs(scheme.match))
+    assert worst < -SCORE_FLOOR, (
+        f"scores may cross the sentinel floor (worst={worst}); "
+        "shorten the pattern or band")
+    assert Lp8 * (SENT_S + 64) < (1 << 30), "Lp too long for sentinel body"
+    pm_t = jnp.where(pats_t >= 4, 9, pats_t)
+    mmq = scheme.mismatch_min + (
+        (scheme.mismatch_max - scheme.mismatch_min)
+        * jnp.minimum(quals_t, 40)) // 40
+    mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+    return pm_t, mis_t
 
 
 def _shift_down(x, fill=NEG_INF):
@@ -510,9 +533,9 @@ def banded_score_pallas_packed(
     BAND = 2 * band_w + 1
     BAND_PAD = _band_pad(BAND)
     Lp8 = (Lp + 7) // 8 * 8
-    tile = _auto_tile(BAND_PAD, Lp8, tile)
-    nb_pad = (NB + tile - 1) // tile * tile
     LT_PAD = Lp8 + BAND_PAD + 16
+    tile = _auto_tile(BAND_PAD, Lp8, tile, extra_rows=LT_PAD)
+    nb_pad = (NB + tile - 1) // tile * tile
     # words needed: window symbols [0, LT_PAD - band_w) + off<16 + w1 read
     NWP = ((LT_PAD - band_w + 15) >> 4) + 2
     NWP = (NWP + 7) // 8 * 8
@@ -537,17 +560,7 @@ def banded_score_pallas_packed(
     plens_t = prep(plens[:, None], 0).T
     tlens_t = prep(tlens[:, None], 0).T
 
-    # same hot-loop precomputes as the staged path
-    worst = scheme.gap_open + (Lp8 + BAND) * max(
-        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
-        abs(scheme.match))
-    assert worst < -SCORE_FLOOR
-    assert Lp8 * (SENT_S + 64) < (1 << 30)
-    pm_t = jnp.where(pats_t >= 4, 9, pats_t)
-    mmq = scheme.mismatch_min + (
-        (scheme.mismatch_max - scheme.mismatch_min)
-        * jnp.minimum(quals_t, 40)) // 40
-    mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+    pm_t, mis_t = _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND)
 
     kernel = _make_kernel32_packed(Lp8, scheme, atype, band_w, BAND,
                                    BAND_PAD, tile, LT_PAD, NWP)
@@ -607,7 +620,9 @@ def banded_directions_pallas(
     # u8 stores need 32-aligned sublane offsets
     BAND_PAD = (max(32, _band_pad(BAND)) + 31) // 32 * 32
     Lp8 = (Lp + 7) // 8 * 8
-    tile = _auto_tile(BAND_PAD, Lp8, tile)
+    # the uint8 dirs output tile adds Lp8*BAND_PAD/4 int32-row-equivs
+    tile = _auto_tile(BAND_PAD, Lp8, tile,
+                      extra_rows=Lp8 * BAND_PAD // 4)
     nb_pad = (NB + tile - 1) // tile * tile
     if quals is None:
         quals = jnp.full((NB, Lp), 40, jnp.int32)
@@ -632,16 +647,7 @@ def banded_directions_pallas(
     m = jnp.arange(LT_PAD, dtype=jnp.int32)[:, None] - band_w
     texts_t = jnp.where(m >= tlens_t, PAD_SYMBOL, texts_t)
 
-    worst = scheme.gap_open + (Lp8 + BAND) * max(
-        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
-        abs(scheme.match))
-    assert worst < -SCORE_FLOOR
-    assert Lp8 * (SENT_S + 64) < (1 << 30)
-    pm_t = jnp.where(pats_t >= 4, 9, pats_t)
-    mmq = scheme.mismatch_min + (
-        (scheme.mismatch_max - scheme.mismatch_min)
-        * jnp.minimum(quals_t, 40)) // 40
-    mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+    pm_t, mis_t = _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND)
 
     kernel = _make_kernel32(Lp8, scheme, atype, band_w, BAND, BAND_PAD,
                             tile)
@@ -810,19 +816,7 @@ def banded_score_pallas_staged(
     CH = 8 if cd == jnp.int32 else 16
     assert LT_PAD >= Lp8 + BAND_PAD + CH
     if cd == jnp.int32:
-        # sentinel-body guards: reachable scores stay above SCORE_FLOOR
-        # and invalid-cell drift stays above INT32_MIN
-        assert worst < -SCORE_FLOOR, (
-            f"scores may cross the sentinel floor (worst={worst}); "
-            "shorten the pattern or band")
-        assert Lp8 * (SENT_S + 64) < (1 << 30), "Lp too long for sentinel body"
-        # hot-loop precomputes: pattern symbols with N/pad rows -> 9,
-        # quality-aware mismatch penalty with pattern-N folded in
-        pm_t = jnp.where(pats_t >= 4, 9, pats_t)
-        mmq = scheme.mismatch_min + (
-            (scheme.mismatch_max - scheme.mismatch_min)
-            * jnp.minimum(quals_t, 40)) // 40
-        mis_t = jnp.where(pats_t >= 4, scheme.n_penalty, mmq)
+        pm_t, mis_t = _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND)
         kernel = _make_kernel32(Lp8, scheme, atype, band_w, BAND,
                                 BAND_PAD, tile)
         ins = (pm_t, mis_t, texts_t, plens_t, tlens_t)
