@@ -99,6 +99,7 @@ def build_fm_index(
         mark_words=jnp.asarray(mark_words),
         mark_abs=jnp.asarray(mark_abs),
         vals=jnp.asarray(vals),
+        k=int(sa_sample),
     )
     return fm, ssa
 

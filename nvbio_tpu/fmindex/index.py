@@ -38,6 +38,8 @@ class SSA(NamedTuple):
     mark_words: jnp.ndarray  # (n_words,) uint32 bitvector over SA rows
     mark_abs: jnp.ndarray  # (n_words,) int32 exclusive popcount prefix
     vals: jnp.ndarray  # (n_marks,) int32 sampled SA values (by rank)
+    k: int = 0  # build-time sampling rate (0 = unknown, legacy data);
+    # locate() needs k_sample >= k or positions silently corrupt
 
 
 def rank(fm: FMIndex, c, i):

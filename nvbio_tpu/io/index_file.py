@@ -69,6 +69,7 @@ def load_index(path, mmap: bool = False):
         mark_words=jnp.asarray(z["mark_words"]),
         mark_abs=jnp.asarray(z["mark_abs"]),
         vals=jnp.asarray(z["vals"]),
+        k=int(meta.get("sa_sample", 0)),
     )
     meta.setdefault("lut_k", 0)
     if "lut_lo" in getattr(z, "files", []):

@@ -479,8 +479,7 @@ def traceback_walk_windows(
     st0 = jnp.zeros((R,), jnp.int32)  # 0=H 1=E 2=F
     done0 = jnp.zeros((R,), bool)
 
-    def step_body(carry):
-        i, k, st, done, t, ops_seq = carry
+    def step(i, k, st, done):
         idx = jnp.clip((i - 1) * STRIDE + k, 0, LPS - 1)
         flag = jnp.take_along_axis(dirs_flat, idx[:, None], axis=1)[:, 0]
         f = flag & 3
@@ -507,9 +506,18 @@ def traceback_walk_windows(
         nst = jnp.where(h_to_e, 1,
                         jnp.where(h_to_f, 2,
                                   jnp.where(e_done | f_done, 0, st)))
+        return ni, nk, nst, done, op
+
+    def step_body(carry):
+        i, k, st, done, t, ops_seq = carry
+        # 2 steps per iteration: the loop is latency-bound, each step
+        # is a tiny gather + a few (R,) vector ops
+        i, k, st, done, op_a = step(i, k, st, done)
+        i, k, st, done, op_b = step(i, k, st, done)
         ops_seq = jax.lax.dynamic_update_slice(
-            ops_seq, op.astype(jnp.uint8)[None, :], (t, 0))
-        return (ni, nk, nst, done, t + 1, ops_seq)
+            ops_seq,
+            jnp.stack([op_a, op_b]).astype(jnp.uint8), (t, 0))
+        return (i, k, st, done, t + 2, ops_seq)
 
     # while-loop with an all-done exit: walks provably advance i or k
     # every <=2 steps, so typical batches finish in ~L+indels steps —
@@ -564,6 +572,13 @@ class Mapper:
         self.fm = fm
         self.ssa = ssa
         self.lut = lut  # optional k-mer range LUT (params.lut_k)
+        # adopt the index's build-time SSA sampling rate: a smaller
+        # params.sa_sample silently corrupts locate positions, a larger
+        # one wastes LF steps
+        ssa_k = int(getattr(ssa, "k", 0) or 0)
+        if ssa_k and params.sa_sample != ssa_k:
+            from dataclasses import replace
+            params = replace(params, sa_sample=ssa_k)
         self.params = params
         self.ref_name = ref_name
         self.n = int(genome_symbols.shape[0])

@@ -244,6 +244,10 @@ class ShardedMapper(Mapper):
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
                  contigs: dict | None = None):
+        ssa_k = int(getattr(sidx.shards[0][1], "k", 0) or 0)
+        if ssa_k and params.sa_sample != ssa_k:
+            from dataclasses import replace
+            params = replace(params, sa_sample=ssa_k)
         self.params = params
         self.ref_name = ref_name
         self.n = int(len(genome_symbols))
