@@ -176,13 +176,16 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int):
     slots are dropped (ok returned False) — the same effort-budget
     semantics as ``max_locate`` (ref: nvBowtie max_effort).
 
-    Returns (pos (N, K) int32 — valid only where ok_out, ok_out).
+    Returns (pos (N, K) int32 — valid only where ok_out, ok_out,
+    n_dropped — scalar count of valid slots dropped by the budget, so
+    callers can surface overflow instead of silently losing hits).
     """
     N, K = rows.shape
     okT = ok.T.reshape(-1)  # slot-rank-major
     rowsT = rows.T.reshape(-1)
     cpos = jnp.cumsum(okT.astype(jnp.int32)) - 1
     keep = okT & (cpos < capacity)
+    n_dropped = okT.sum() - keep.sum()
     comp_rows = jnp.zeros(capacity, jnp.int32).at[
         jnp.where(keep, cpos, capacity)
     ].set(rowsT, mode="drop")
@@ -190,7 +193,7 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int):
     pos_flat = jnp.where(
         keep, comp_pos[jnp.minimum(cpos, capacity - 1)], 0
     )
-    return (pos_flat.reshape(K, N).T, keep.reshape(K, N).T)
+    return (pos_flat.reshape(K, N).T, keep.reshape(K, N).T, n_dropped)
 
 
 def candidate_stage(
@@ -256,7 +259,7 @@ def candidate_stage(
         offsets[None, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
     offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
     capacity = max(int(2 * R * KLOC * params.locate_frac) // 8 * 8, 512)
-    pos, ok_loc = locate_compact(
+    pos, ok_loc, n_drop = locate_compact(
         fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
         k_sample=params.sa_sample, capacity=capacity,
     )
@@ -282,13 +285,14 @@ def candidate_stage(
         rows_v = vlo[..., None] + tv  # (2R, S, Ls*4, CAPV)
         ok_v = tv < use_v[..., None]
         KV = S * Ls * 4 * CAPV
-        pos_v, ok_v2 = locate_compact(
+        pos_v, ok_v2, n_drop_v = locate_compact(
             fm, ssa, jnp.clip(rows_v, 0, n).reshape(2 * R, KV),
             ok_v.reshape(2 * R, KV),
             k_sample=params.sa_sample,
             capacity=max(int(2 * R * KV * params.mm_locate_frac)
                          // 8 * 8, 512),
         )
+        n_drop = n_drop + n_drop_v
         pos_v = pos_v.reshape(rows_v.shape)
         ok_v = ok_v2.reshape(rows_v.shape)
         cand_v = jnp.where(ok_v, pos_v - offsets[None, :, None, None],
@@ -297,10 +301,15 @@ def candidate_stage(
         cand = jnp.concatenate(
             [cand, cand_v.reshape(2 * R, S * Ls * 4 * CAPV)], axis=1)
 
-    return extend_candidates(
+    out = extend_candidates(
         fm, genome, all_reads, all_quals, lens2, cand,
         params=params, use_pallas=use_pallas, gwords=gwords,
     )
+    # locate-budget overflow count (ADVICE r1: locate_frac drops must
+    # be observable — repetitive batches can exhaust the cross-read
+    # budget silently otherwise); surfaced via MappingStats
+    out["locate_dropped"] = n_drop
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
@@ -364,6 +373,7 @@ def top2_finish(cands, lens, params: MapperParams):
         "t_end": take(t_end),
         "p_end": take(p_end),
         "mapq": mapq,
+        "locate_dropped": cands.get("locate_dropped", jnp.int32(0)),
     }
 
 
@@ -598,6 +608,9 @@ class Mapper:
         self.gwords = (pack_genome_words(gp[: self.n])
                        if use_pallas else None)
         self.use_pallas = use_pallas
+        # cumulative count of locate-budget slots dropped on overflow
+        # (params.locate_frac / mm_locate_frac; see locate_compact)
+        self.locate_dropped = 0
 
     @staticmethod
     def _len_bucket(seqs, lens, quals):
@@ -671,6 +684,8 @@ class Mapper:
 
     def _collect_chunk(self, handle):
         seqs, lens, quals, fwd, res, walk, R = handle
+        if "locate_dropped" in fwd:
+            self.locate_dropped += int(fwd["locate_dropped"])
         return self._finish(seqs, lens, quals, fwd, res, walk)[:R]
 
     def _map_chunk(self, seqs, lens, quals):

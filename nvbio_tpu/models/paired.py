@@ -363,10 +363,10 @@ def pe_map_batch(
         sc_excl = se["sc"].at[jnp.arange(R), idx].set(NEG_INF)
         second = jnp.where(resc_here, jnp.max(se["sc"], axis=1),
                            jnp.max(sc_excl, axis=1))
-        return aligned, strand, ws, score, second
+        return aligned, strand, ws, score, second, resc_here
 
-    a1, st1f, ws1, sc1, xs1 = pick(1)
-    a2, st2f, ws2, sc2, xs2 = pick(2)
+    a1, st1f, ws1, sc1, xs1, resc1 = pick(1)
+    a2, st2f, ws2, sc2, xs2, resc2 = pick(2)
 
     # --- MAPQ: pair-level for proper pairs, SE otherwise ---
     sperf = _score_perfect(l1, params) + _score_perfect(l2, params)
@@ -382,7 +382,7 @@ def pe_map_batch(
     mq1 = jnp.where(proper, mq_pair, mq1_se)
     mq2 = jnp.where(proper, mq_pair, mq2_se)
 
-    def mate_out(a, stf, ws, sc, mq, xs, se, lens):
+    def mate_out(a, stf, ws, sc, mq, xs, se, lens, resc):
         return {
             "aligned": a & (lens > 0), "strand": stf, "win_start": ws,
             "score": sc, "mapq": jnp.where(a, mq, 0),
@@ -392,17 +392,23 @@ def pe_map_batch(
             "se_best": se["best"], "se_second": se["second"],
             "se_strand": se["strand"], "se_ws": se["win_start"],
             "se_aligned": se["aligned"],
+            # whether this mate was placed by window rescue (its
+            # reported alignment is then NOT a candidate-list entry, so
+            # the cross-shard XS merge must not exclude it)
+            "resc": resc,
         }
 
     return (
-        mate_out(a1, st1f, ws1, sc1, mq1, xs1, se1, l1),
-        mate_out(a2, st2f, ws2, sc2, mq2, xs2, se2, l2),
+        mate_out(a1, st1f, ws1, sc1, mq1, xs1, se1, l1, resc1),
+        mate_out(a2, st2f, ws2, sc2, mq2, xs2, se2, l2, resc2),
         {"proper": proper, "discordant": discordant & ~proper,
          # pair detail for cross-shard merging: the ladder key is
          # (has_conc, pair score); pair_second only among concordant
          "has_conc": has_conc,
          "pair_score": pair_best_eff,
-         "pair_second": pair_second_eff},
+         "pair_second": pair_second_eff,
+         "locate_dropped": (c1.get("locate_dropped", jnp.int32(0))
+                            + c2.get("locate_dropped", jnp.int32(0)))},
     )
 
 
@@ -474,6 +480,8 @@ class PairedMapper(Mapper):
 
     def _collect_pair_chunk(self, handle):
         (p1, p2, walks, pair, R) = handle
+        if "locate_dropped" in pair:
+            self.locate_dropped += int(pair["locate_dropped"])
         res1, res2 = [], []
         for (mate, res, walk), (sp, lp, qp), out in (
                 (walks[0], p1, res1), (walks[1], p2, res2)):

@@ -125,12 +125,25 @@ def _shard_cands(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
 @functools.partial(jax.jit, static_argnames=("params",))
 def _sharded_top2(cands, lens, params: MapperParams):
     """cands: list of per-shard dicts with (R, 2C) arrays."""
-    R = lens.shape[0]
-    C = params.max_candidates
     sc = jnp.concatenate([c["score"] for c in cands], axis=1)
     ws = jnp.concatenate([c["win_start"] for c in cands], axis=1)
     te = jnp.concatenate([c["t_end"] for c in cands], axis=1)
     pe = jnp.concatenate([c["p_end"] for c in cands], axis=1)
+    out = _top2_concat(sc, ws, te, pe, lens, params)
+    out["locate_dropped"] = sum(
+        c.get("locate_dropped", jnp.int32(0)) for c in cands)
+    return out
+
+
+def _top2_concat(sc, ws, te, pe, lens, params: MapperParams):
+    """Cross-shard top-2 reduce over shard-major concatenated
+    candidate arrays (R, S * 2C).  Shared by the sequential
+    single-device path (_sharded_top2) and the shard-per-chip mesh
+    path (mesh_sharded.mesh_map_batch) so both are bit-identical:
+    argmax ties resolve to the lowest (shard, strand, slot) index in
+    both layouts."""
+    R = lens.shape[0]
+    C = params.max_candidates
     bi = jnp.argmax(sc, axis=1)
     best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
     second = jnp.max(sc.at[jnp.arange(R), bi].set(NEG_INF), axis=1)
@@ -161,7 +174,7 @@ def _sharded_top2(cands, lens, params: MapperParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
+def _sharded_pe_merge(shard_outs, l1, l2, rel, params: MapperParams):
     """Cross-shard reduction of per-shard pe_map_batch outputs.
 
     Mirrors the single-index decision ladder exactly: concordant pairs
@@ -170,7 +183,18 @@ def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
     shards' best); SE fallback fields merge over ownership-masked
     per-shard SE bests.  Pairs never split across shards (the overlap
     covers a full pair span), so per-shard pair scores partition the
-    global pair set."""
+    global pair set.
+
+    `rel` is the (S, S) int32 shard-offset matrix
+    rel[s, w] = starts[w] - starts[s] (INT32_MIN sentinel where the
+    true offset overflows int32 — such shard pairs share no position).
+    It converts the reported mate's shard-w-local window origin into
+    shard s's frame so the XS merge can exclude the reported alignment
+    itself from other shards' se_best contributions: for a proper pair
+    whose reported mate is OWNED by a non-winner shard (boundary
+    straddle), that shard's ownership-masked se_best IS the reported
+    alignment, and without the exclusion XS == AS on uniquely-mapping
+    mates."""
     S = len(shard_outs)
     stackf = lambda sel: jnp.stack([sel(o) for o in shard_outs])
     has_conc = stackf(lambda o: o[2]["has_conc"])  # (S, R)
@@ -206,9 +230,22 @@ def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
         g_best = tG(se_best)
         others_se = jnp.where(sid == wg[None, :], NEG_INF, se_best)
         sec_se = jnp.maximum(tG(se_sec), jnp.max(others_se, axis=0))
-        # XS for the proper path: the winner shard already excludes its
-        # reported alignment; other shards contribute their SE best
-        others_w = jnp.where(sid == w[None, :], NEG_INF, se_best)
+        # XS for the proper path: the winner shard's own `second`
+        # already excludes its reported alignment; other shards
+        # contribute their SE best — EXCEPT when that se_best is the
+        # reported alignment itself (same global origin + strand, seen
+        # via `rel`), which happens whenever the reported mate's origin
+        # is owned by a non-winner shard.  Rescue-placed mates are not
+        # candidate-list entries, so no exclusion for them (single-index
+        # parity: pe_map_batch pick() excludes idx only when ~resc).
+        rep_ws = takeS(m("win_start"))
+        rep_st = takeS(m("strand"))
+        not_resc = ~takeS(m("resc"))
+        same_rep = (not_resc[None, :]
+                    & ((m("se_ws") - rep_ws[None, :]) == rel[:, w])
+                    & (m("se_strand") == rep_st[None, :]))
+        others_w = jnp.where((sid == w[None, :]) | same_rep, NEG_INF,
+                             se_best)
         sec_rep = jnp.maximum(takeS(m("second")),
                               jnp.max(others_w, axis=0))
         g_second = jnp.where(proper, sec_rep, sec_se)
@@ -233,7 +270,11 @@ def _sharded_pe_merge(shard_outs, l1, l2, params: MapperParams):
     m1, a1 = merge_mate(0, l1)
     m2, a2 = merge_mate(1, l2)
     discordant = (~proper) & a1 & a2
-    return m1, m2, {"proper": proper, "discordant": discordant}
+    return m1, m2, {
+        "proper": proper, "discordant": discordant,
+        "locate_dropped": sum(
+            o[2].get("locate_dropped", jnp.int32(0)) for o in shard_outs),
+    }
 
 
 class ShardedMapper(Mapper):
@@ -243,7 +284,7 @@ class ShardedMapper(Mapper):
     def __init__(self, sidx, genome_symbols: np.ndarray,
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
-                 contigs: dict | None = None):
+                 contigs: dict | None = None, device_state: bool = True):
         ssa_k = int(getattr(sidx.shards[0][1], "k", 0) or 0)
         if ssa_k and params.sa_sample != ssa_k:
             from dataclasses import replace
@@ -259,18 +300,26 @@ class ShardedMapper(Mapper):
         gp = np.full(self.n + lt_pad, PAD, dtype=np.int8)
         gp[: self.n] = genome_symbols
         self._genome_np = gp  # GLOBAL host copy (int64 indexing is free)
+        self.locate_dropped = 0
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         self.lut = None
         # per-shard device state: genome slice (+pad) and index
+        # (device_state=False: metadata only — MeshShardedMapper keeps
+        # one stacked copy per device instead)
         self.shard_state = []
         for (fm, ssa, lut, start, length) in sidx.shards:
-            g_s = jnp.asarray(gp[start : start + length + lt_pad])
-            gw_s = (pack_genome_words(gp[start : start + length])
-                    if self.use_pallas else None)
+            g_s = gw_s = None
+            if device_state:
+                g_s = jnp.asarray(gp[start : start + length + lt_pad])
+                gw_s = (pack_genome_words(gp[start : start + length])
+                        if self.use_pallas else None)
             self.shard_state.append(dict(
-                fm=fm, ssa=ssa, lut=lut, start=start, length=length,
+                fm=fm if device_state else None,
+                ssa=ssa if device_state else None,
+                lut=lut if device_state else None,
+                start=start, length=length,
                 g=g_s, gw=gw_s,
             ))
         # owned span of shard i = next shard's start - this start (or
@@ -283,6 +332,15 @@ class ShardedMapper(Mapper):
             # duplicates owned by the previous shard (see _shard_cands)
             st["own_lo"] = 0 if i == 0 else 1
             st["own_hi"] = st["span"] + 1
+        # shard-offset matrix for cross-shard position identity checks
+        # (see _sharded_pe_merge): rel[s, w] = starts[w] - starts[s],
+        # INT32_MIN where the true offset overflows int32 (such shard
+        # pairs are too far apart to ever share a position)
+        st64 = np.asarray(starts[:-1], np.int64)
+        rel64 = st64[None, :] - st64[:, None]
+        self._rel = jnp.asarray(
+            np.where(np.abs(rel64) < 2**31 - 1, rel64,
+                     np.int64(-(2**31))).astype(np.int32))
 
     def _dispatch_chunk(self, seqs, lens, quals):
         R = seqs.shape[0]
@@ -317,6 +375,8 @@ class ShardedMapper(Mapper):
 
     def _collect_chunk(self, handle):
         seqs, lens, quals, fwd, walk, R = handle
+        if "locate_dropped" in fwd:
+            self.locate_dropped += int(fwd["locate_dropped"])
         shard = np.asarray(fwd["shard"])
         # globalize win_start on host (int64)
         starts = np.asarray([st["start"] for st in self.shard_state],
@@ -435,7 +495,7 @@ class PairedShardedMapper(ShardedMapper):
             for st in self.shard_state
         ]
         m1, m2, pair = _sharded_pe_merge(
-            shard_outs, args[1], args[4], self.params)
+            shard_outs, args[1], args[4], self._rel, params=self.params)
         walks = []
         for mate, (sp, lp, qp) in ((m1, (s1p, l1p, q1p)),
                                    (m2, (s2p, l2p, q2p))):
@@ -450,6 +510,8 @@ class PairedShardedMapper(ShardedMapper):
 
     def _collect_pair_chunk(self, handle):
         (p1, p2, walks, pair, R) = handle
+        if "locate_dropped" in pair:
+            self.locate_dropped += int(pair["locate_dropped"])
         starts = np.asarray([s["start"] for s in self.shard_state],
                             np.int64)
         res1, res2 = [], []

@@ -58,11 +58,16 @@ def _auto_tile(BAND_PAD: int, Lp8: int, tile: int,
     (state + staged text, double-buffered inputs, plus `extra_rows`
     int32-row-equivalents for variant-specific blocks: the packed
     unpack scratch or the uint8 dirs output) stays under budget."""
-    while tile > 128:
-        rows = 7 * BAND_PAD + 3 * Lp8 + BAND_PAD + 16 + extra_rows
-        if rows * tile * 4 <= 8 * 1024 * 1024:
-            break
+    rows = 7 * BAND_PAD + 3 * Lp8 + BAND_PAD + 16 + extra_rows
+    while tile > 128 and rows * tile * 4 > 8 * 1024 * 1024:
         tile //= 2
+    if rows * tile * 4 > 8 * 1024 * 1024:
+        raise ValueError(
+            f"banded Pallas kernel working set {rows * tile * 4 / 2**20:.1f}"
+            f" MiB exceeds the 8 MiB VMEM budget even at tile={tile} "
+            f"(band_pad={BAND_PAD}, Lp8={Lp8}); narrow the band / shorten "
+            "the pattern, or use the XLA twin "
+            "(banded_score_batch / banded_directions_batch)")
     return tile
 
 
@@ -684,9 +689,16 @@ def pack_genome_words(symbols) -> "jnp.ndarray":
     import numpy as _np
     s = _np.asarray(symbols)
     n = s.shape[0]
+    if n and int(s[:n].max()) >= 4:
+        raise ValueError(
+            "pack_genome_words: genome contains N/ambiguity symbols "
+            "(>= 4); packed 2-bit extension would silently score them "
+            "as G, diverging from the unpacked path's n_penalty.  "
+            "Substitute N at build time (tools/build_index.py does "
+            "this, ref: nvBWT seeded N-substitution) before packing.")
     nw = (n + 15) // 16
     s16 = _np.zeros(nw * 16, _np.uint32)
-    s16[:n] = _np.where(s[:n] < 4, s[:n], 3).astype(_np.uint32)
+    s16[:n] = s[:n].astype(_np.uint32)
     s16 = s16.reshape(nw, 16)
     w = _np.zeros(nw, _np.uint32)
     for r in range(16):

@@ -36,6 +36,12 @@ def main(argv=None):
                    help="per-read alignment cap in --all mode")
     p.add_argument("--batch", type=int, default=4096,
                    help="reads per device batch")
+    p.add_argument("--locate-frac", type=float, default=None,
+                   help="cross-read SSA-locate budget as a fraction of "
+                   "the selected hit slots (default 0.25; 1.0 locates "
+                   "every slot).  On hit-dense (repetitive) batches a "
+                   "smaller budget drops the lowest-priority hits — the "
+                   "run reports the dropped count as locate_dropped")
     p.add_argument("--stats", help="write stats JSON here")
     p.add_argument("--html", help="write HTML run report here")
     p.add_argument("--cpu", action="store_true", help="force XLA/CPU path")
@@ -55,6 +61,13 @@ def main(argv=None):
         p.error("--resume supports unpaired plain .sam output")
     if not args.U and not (args.m1 and args.m2):
         p.error("need -U or -1/-2")
+
+    if args.cpu:
+        # force the CPU platform before any jax use (the environment
+        # may force-select a remote TPU platform; XLA-twin kernels
+        # through a device tunnel are far slower than local CPU)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ..utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -98,6 +111,8 @@ def main(argv=None):
         sa_sample=meta["sa_sample"],
         lut_k=meta.get("lut_k", 0),
         max_read_len=args.max_read_len,
+        **({"locate_frac": args.locate_frac}
+           if args.locate_frac is not None else {}),
     )
     contigs = {
         "names": meta["contig_names"],
@@ -219,6 +234,12 @@ def main(argv=None):
                                 res1, res2, info):
                             writer.write(rec)
     writer.close()
+    stats.locate_dropped = getattr(mapper, "locate_dropped", 0)
+    if stats.locate_dropped:
+        print(f"[map_reads] locate budget overflow: "
+              f"{stats.locate_dropped} candidate slots dropped "
+              "(raise --locate-frac toward 1.0 to locate everything)",
+              file=sys.stderr)
     report = stats.report(file=sys.stderr)
     if args.stats:
         with open(args.stats, "w") as f:

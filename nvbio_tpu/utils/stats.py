@@ -39,6 +39,9 @@ class MappingStats:
     unique: int = 0  # aligned with no second-best
     proper_pairs: int = 0
     discordant: int = 0
+    # locate-budget slots dropped on overflow (params.locate_frac /
+    # mm_locate_frac < 1.0 on hit-dense batches; 0 = no hits lost)
+    locate_dropped: int = 0
     mapq_hist: dict = field(default_factory=lambda: defaultdict(int))
     timers: dict = field(default_factory=dict)
 
@@ -72,6 +75,7 @@ class MappingStats:
             "unique": self.unique,
             "proper_pairs": self.proper_pairs,
             "discordant": self.discordant,
+            "locate_dropped": self.locate_dropped,
             "mapq_hist": dict(sorted(self.mapq_hist.items())),
             "reads_per_sec": round(self.reads_per_sec(), 1),
             "stage_seconds": {

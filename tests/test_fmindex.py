@@ -194,17 +194,19 @@ def test_locate_compact_matches_direct_and_overflow():
     direct = np.asarray(locate(fm, ssa, rows.reshape(-1), k_sample=8)
                         ).reshape(N, K)
     # ample capacity: every valid slot located, values equal
-    pos, kept = locate_compact(fm, ssa, rows, ok, k_sample=8,
-                               capacity=N * K)
+    pos, kept, ndrop = locate_compact(fm, ssa, rows, ok, k_sample=8,
+                                      capacity=N * K)
     kept = np.asarray(kept)
+    assert int(ndrop) == 0
     np.testing.assert_array_equal(kept, np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(pos)[kept], direct[kept])
     # tight capacity: kept is a slot-rank-prefix of ok (rank-major)
     cap = int(np.asarray(ok).sum()) // 2
-    pos2, kept2 = locate_compact(fm, ssa, rows, ok, k_sample=8,
-                                 capacity=cap)
+    pos2, kept2, ndrop2 = locate_compact(fm, ssa, rows, ok, k_sample=8,
+                                         capacity=cap)
     kept2 = np.asarray(kept2)
     assert kept2.sum() == cap
+    assert int(ndrop2) == int(np.asarray(ok).sum()) - cap
     assert (kept2 <= np.asarray(ok)).all()
     okT = np.asarray(ok).T.reshape(-1)
     keptT = kept2.T.reshape(-1)

@@ -144,9 +144,9 @@ def test_sharded_paired_matches_single_index(setup):
             assert a.aligned == b.aligned, i
             if a.aligned:
                 assert (a.pos, a.strand, a.cigar, a.score, a.mapq,
-                        a.md, a.nm) == \
+                        a.md, a.nm, a.second) == \
                        (b.pos, b.strand, b.cigar, b.score, b.mapq,
-                        b.md, b.nm), i
+                        b.md, b.nm, b.second), i
     # the straddling pairs must be proper at their true loci
     for j, fs in enumerate([59_820, 59_900, 59_960, 59_990,
                             119_820, 119_900, 119_960, 119_990]):
