@@ -22,3 +22,10 @@ from .index import (  # noqa: F401
     locate,
 )
 from .build import build_fm_index  # noqa: F401
+from .fm2 import (  # noqa: F401
+    FM2,
+    build_fm2,
+    rank2,
+    backward_search2,
+    locate2,
+)

@@ -23,10 +23,14 @@ def build_fm_index(
     text: np.ndarray,
     sa_sample: int = 32,
     sa: np.ndarray | None = None,
+    bi_sample: bool = False,
 ):
     """Build (FMIndex, SSA) for `text` (uint8 symbols 0..3).
 
     `sa` may be passed to reuse a precomputed suffix array.
+    `bi_sample` marks SA values % sa_sample in {0, 1} (2x the samples)
+    so fm2.locate2 can walk in LF² double-steps — parity-safe, and any
+    single-step locate() still works (it stops at the first mark).
     Returns device-ready structures (jnp arrays).
     """
     text = np.asarray(text, dtype=np.uint8)
@@ -75,7 +79,7 @@ def build_fm_index(
     sa_full = np.empty(m, dtype=np.int64)
     sa_full[0] = n
     sa_full[1:] = sa
-    marked = (sa_full % sa_sample) == 0
+    marked = (sa_full % sa_sample) < (2 if bi_sample else 1)
     vals = sa_full[marked].astype(np.int32)
     n_words = (n_blocks * BLOCK) // 32
     bits = np.zeros(n_words * 32, dtype=bool)
@@ -100,6 +104,7 @@ def build_fm_index(
         mark_abs=jnp.asarray(mark_abs),
         vals=jnp.asarray(vals),
         k=int(sa_sample),
+        bi=int(bool(bi_sample)),
     )
     return fm, ssa
 

@@ -40,6 +40,8 @@ class SSA(NamedTuple):
     vals: jnp.ndarray  # (n_marks,) int32 sampled SA values (by rank)
     k: int = 0  # build-time sampling rate (0 = unknown, legacy data);
     # locate() needs k_sample >= k or positions silently corrupt
+    bi: int = 0  # 1 = rows with SA % k in {0, 1} are marked (enables
+    # the fm2.locate2 double-step walk); 0 = SA % k == 0 only
 
 
 def rank(fm: FMIndex, c, i):

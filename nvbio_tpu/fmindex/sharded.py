@@ -44,7 +44,8 @@ class ShardedIndex:
 
 def build_sharded_index(symbols: np.ndarray, shard_bp: int,
                         overlap: int = 1024, sa_sample: int = 16,
-                        lut_k: int = 11) -> ShardedIndex:
+                        lut_k: int = 11,
+                        bi_sample: bool = False) -> ShardedIndex:
     """Split `symbols` into ceil(n/shard_bp) shards (each extended by
     `overlap` into the next) and build per-shard indexes."""
     n = len(symbols)
@@ -55,7 +56,8 @@ def build_sharded_index(symbols: np.ndarray, shard_bp: int,
         seg_end = min(end + overlap, n)
         seg = np.ascontiguousarray(symbols[start:seg_end])
         sa = suffix_array(seg)
-        fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa)
+        fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa,
+                                 bi_sample=bi_sample)
         lut = None
         if lut_k > 0:
             lo, hi = build_kmer_lut(seg, sa, k=lut_k)

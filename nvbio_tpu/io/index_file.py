@@ -29,6 +29,7 @@ def save_index(path, fm: FMIndex, ssa: SSA, genome: np.ndarray,
     meta = {
         "version": FORMAT_VERSION,
         "sa_sample": int(sa_sample),
+        "sa_bi": int(getattr(ssa, "bi", 0)),
         "lut_k": int(lut_k if lut is not None else 0),
         "contig_names": list(contig_names),
         "contig_lens": [int(x) for x in contig_lens],
@@ -70,6 +71,7 @@ def load_index(path, mmap: bool = False):
         mark_abs=jnp.asarray(z["mark_abs"]),
         vals=jnp.asarray(z["vals"]),
         k=int(meta.get("sa_sample", 0)),
+        bi=int(meta.get("sa_bi", 0)),
     )
     meta.setdefault("lut_k", 0)
     if "lut_lo" in getattr(z, "files", []):

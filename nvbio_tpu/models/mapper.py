@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from ..alignment import banded_score_batch, banded_directions_batch
 from ..alignment.cigar import cigar_to_string, make_md_string
 from ..alignment.types import NEG_INF, AlignmentType
-from ..fmindex import FMIndex, SSA, backward_search, locate
+from ..fmindex import (FMIndex, SSA, backward_search, locate,
+                       backward_search2, locate2, build_fm2)
 from ..ops.banded_dp import (banded_score_pallas,
                              banded_score_pallas_packed,
                              pack_genome_words)
@@ -164,7 +165,8 @@ def both_strands(reads, lens, quals):
     return all_reads, all_quals, lens2
 
 
-def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int):
+def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int,
+                   fm2=None, bi: bool = False):
     """SSA-locate only the valid rows of a (N, K) budget matrix.
 
     The SSA walk is the mapper's dominant gather cost and most budget
@@ -189,7 +191,12 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int):
     comp_rows = jnp.zeros(capacity, jnp.int32).at[
         jnp.where(keep, cpos, capacity)
     ].set(rowsT, mode="drop")
-    comp_pos = locate(fm, ssa, comp_rows, k_sample=k_sample)
+    if fm2 is not None and bi:
+        # 2-step LF walk over the bi-marked SSA: floor((K-1)/2) gather
+        # rounds instead of K (fmindex/fm2.py)
+        comp_pos = locate2(fm, fm2, ssa, comp_rows, k_sample=k_sample)
+    else:
+        comp_pos = locate(fm, ssa, comp_rows, k_sample=k_sample)
     pos_flat = jnp.where(
         keep, comp_pos[jnp.minimum(cpos, capacity - 1)], 0
     )
@@ -208,6 +215,8 @@ def candidate_stage(
     use_pallas: bool = False,
     lut=None,
     gwords=None,
+    fm2=None,
+    bi: bool = False,
 ):
     """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
@@ -228,8 +237,11 @@ def candidate_stage(
         all_reads, lens2, params.seed_len, params.seed_interval
     )
     flat_seeds = seeds.reshape(2 * R * S, params.seed_len)
-    lo, hi = backward_search(fm, flat_seeds, lut=lut,
-                             lut_k=params.lut_k if lut is not None else 0)
+    lut_k = params.lut_k if lut is not None else 0
+    if fm2 is not None:
+        lo, hi = backward_search2(fm, fm2, flat_seeds, lut=lut, lut_k=lut_k)
+    else:
+        lo, hi = backward_search(fm, flat_seeds, lut=lut, lut_k=lut_k)
     lo = lo.reshape(2 * R, S)
     hi = hi.reshape(2 * R, S)
     sizes = jnp.where(sval, hi - lo, 0)
@@ -261,7 +273,7 @@ def candidate_stage(
     capacity = max(int(2 * R * KLOC * params.locate_frac) // 8 * 8, 512)
     pos, ok_loc, n_drop = locate_compact(
         fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
-        k_sample=params.sa_sample, capacity=capacity,
+        k_sample=params.sa_sample, capacity=capacity, fm2=fm2, bi=bi,
     )
     SENT = n + 2 * L + 1
     cand = jnp.where(ok_loc, pos - offs_sel, SENT)
@@ -291,6 +303,7 @@ def candidate_stage(
             k_sample=params.sa_sample,
             capacity=max(int(2 * R * KV * params.mm_locate_frac)
                          // 8 * 8, 512),
+            fm2=fm2, bi=bi,
         )
         n_drop = n_drop + n_drop_v
         pos_v = pos_v.reshape(rows_v.shape)
@@ -312,7 +325,7 @@ def candidate_stage(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas", "bi"))
 def map_batch(
     fm: FMIndex,
     ssa: SSA,
@@ -325,6 +338,8 @@ def map_batch(
     use_pallas: bool = False,
     lut=None,
     gwords=None,
+    fm2=None,
+    bi: bool = False,
 ):
     """Forward mapping step: per-read best/second alignments + MAPQ.
 
@@ -334,6 +349,7 @@ def map_batch(
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
         params=params, use_pallas=use_pallas, lut=lut, gwords=gwords,
+        fm2=fm2, bi=bi,
     )
     return top2_finish(cands, lens, params)
 
@@ -410,6 +426,27 @@ def traceback_batch(
     return res, packed
 
 
+def runs_to_packed(run_ops: np.ndarray, run_lens: np.ndarray) -> np.ndarray:
+    """Expand device CIGAR runs (end->start order) into the 2-bit
+    packed op stream the native string builder consumes (host NumPy;
+    ~1 ms for 16k x 100 bp)."""
+    run_ops = np.asarray(run_ops)
+    run_lens = np.asarray(run_lens).astype(np.int64)
+    R = run_ops.shape[0]
+    total = run_lens.sum(axis=1)
+    MAX = int(total.max()) if total.size else 0
+    MAX4 = max((MAX + 3) // 4 * 4, 4)
+    codes = np.zeros((R, MAX4), np.uint8)
+    flat = np.repeat(run_ops.ravel(), run_lens.ravel())
+    rows = np.repeat(np.arange(R), total)
+    offs = np.zeros(R, np.int64)
+    np.cumsum(total[:-1], out=offs[1:])
+    idx = np.arange(flat.size, dtype=np.int64) - np.repeat(offs, total)
+    codes[rows, idx] = flat
+    return (codes[:, 0::4] | (codes[:, 1::4] << 2)
+            | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+
+
 def unpack_dirs(packed: np.ndarray, band: int) -> np.ndarray:
     """Host-side inverse of traceback_batch's nibble packing."""
     packed = np.asarray(packed)
@@ -423,19 +460,17 @@ def unpack_dirs(packed: np.ndarray, band: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def traceback_walk_batch(
     genome, n, reads, lens, quals, win_start, strand, *,
-    params: MapperParams, use_pallas: bool = False
+    params: MapperParams, use_pallas: bool = False, active=None
 ):
     """Winners-only DP + ON-DEVICE traceback walk.
 
     The reference walks the DP flags in its traceback kernel (ref:
     traceback_inl.h ``banded_traceback_best``); doing the same here
-    keeps the (B, Lp, BAND) direction matrix in HBM and ships only a
-    2-bit op stream per read to the host (~16x less transfer than the
-    matrix).  Returns (res, dict(ops=packed walk-order op codes,
-    p_start, t_start)); the host builds CIGAR/MD strings from the ops
-    (native C++ or Python fallback).
-
-    Op codes along the walk (end -> start): 0 none, 1 M, 2 D, 3 I.
+    keeps the (B, Lp, BAND) direction matrix in HBM and ships only
+    CIGAR runs per read to the host (run_ops/run_lens, end->start
+    order); the host builds CIGAR/MD strings from the runs (native C++
+    or Python fallback).  `active`: lanes to walk (None = all; pass
+    the aligned mask so discarded lanes never pin the walk loop).
     """
     L = reads.shape[1]
     LT = L + 2 * params.band_w
@@ -444,13 +479,13 @@ def traceback_walk_batch(
     tlens = jnp.clip(n - win_start, 0, LT)
     return traceback_walk_windows(texts, tlens, reads, lens, quals,
                                   strand, params=params,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, active=active)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def traceback_walk_windows(
     texts, tlens, reads, lens, quals, strand, *, params: MapperParams,
-    use_pallas: bool = False
+    use_pallas: bool = False, active=None
 ):
     """Core of traceback_walk_batch over pre-gathered window texts
     (shape (R, L + 2*band_w)).  Sharded mappers gather each lane's
@@ -480,76 +515,131 @@ def traceback_walk_windows(
         STRIDE = BAND
         dirs_flat = dirs.reshape(R, L * BAND)
         LPS = L * BAND
-    dirs_flat = dirs_flat.astype(jnp.int32)
-
-    MAX = 2 * (2 * L + BAND)
-    MAX = (MAX + 3) // 4 * 4
     i0 = res["p_end"].astype(jnp.int32)
     k0 = res["t_end"].astype(jnp.int32) - i0 + W
-    st0 = jnp.zeros((R,), jnp.int32)  # 0=H 1=E 2=F
-    done0 = jnp.zeros((R,), bool)
-
-    def step(i, k, st, done):
-        idx = jnp.clip((i - 1) * STRIDE + k, 0, LPS - 1)
-        flag = jnp.take_along_axis(dirs_flat, idx[:, None], axis=1)[:, 0]
-        f = flag & 3
-        is_h = st == 0
-        fin = is_h & ((i == 0) | (f == 3))  # ORIGIN
-        # bound guards: genuine paths keep 0 <= k < BAND and i >= 0,
-        # but garbage lanes (unaligned reads; results discarded) can
-        # stall in the E state and would otherwise pin the while-loop
-        # at its MAX bound
-        fin = fin | (k < 0) | (k >= STRIDE) | (i < 0)
-        done = done | fin
-        act = ~done
-        h_diag = is_h & (f == 0) & act
-        h_to_e = is_h & (f == 1) & act
-        h_to_f = is_h & (f == 2) & act
-        in_e = (st == 1) & act
-        in_f = (st == 2) & act
-        op = jnp.where(h_diag, 1,
-                       jnp.where(in_e, 2, jnp.where(in_f, 3, 0)))
-        ni = i - (h_diag | in_f).astype(jnp.int32)
-        nk = k - in_e.astype(jnp.int32) + in_f.astype(jnp.int32)
-        e_done = in_e & (((flag >> 2) & 1) == 1)
-        f_done = in_f & (((flag >> 3) & 1) == 1)
-        nst = jnp.where(h_to_e, 1,
-                        jnp.where(h_to_f, 2,
-                                  jnp.where(e_done | f_done, 0, st)))
-        return ni, nk, nst, done, op
-
-    def step_body(carry):
-        i, k, st, done, t, ops_seq = carry
-        # 2 steps per iteration: the loop is latency-bound, each step
-        # is a tiny gather + a few (R,) vector ops
-        i, k, st, done, op_a = step(i, k, st, done)
-        i, k, st, done, op_b = step(i, k, st, done)
-        ops_seq = jax.lax.dynamic_update_slice(
-            ops_seq,
-            jnp.stack([op_a, op_b]).astype(jnp.uint8), (t, 0))
-        return (i, k, st, done, t + 2, ops_seq)
-
-    # while-loop with an all-done exit: walks provably advance i or k
-    # every <=2 steps, so typical batches finish in ~L+indels steps —
-    # far below the MAX bound the old full-length scan always paid
-    (fi, fk, _, _, _, ops_seq) = jax.lax.while_loop(
-        lambda c: (c[4] < MAX) & ~jnp.all(c[3]),
-        step_body,
-        (i0, k0, st0, done0, jnp.int32(0),
-         jnp.zeros((MAX, R), jnp.uint8)),
-    )
-    ops = ops_seq.T  # (R, MAX) walk order (end -> start)
-    packed = (
-        ops[:, 0::4]
-        | (ops[:, 1::4] << 2)
-        | (ops[:, 2::4] << 4)
-        | (ops[:, 3::4] << 6)
-    )
+    fi, fk, run_ops, run_lens = _runjump_walk(dirs_flat, STRIDE, i0, k0,
+                                              active=active)
     return res, {
-        "ops": packed,
+        "run_ops": run_ops,
+        "run_lens": run_lens,
         "p_start": fi,
         "t_start": fi + fk - W,
     }
+
+
+def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None):
+    """Run-level traceback walk: O(#CIGAR-runs) gather rounds.
+
+    A per-step walk is a chain of ~2L dependent single-element gathers;
+    on TPU each 16k-lane gather costs ~0.3 ms regardless of size (XLA
+    lowers gathers per-index), so the old walk was ~150 ms/batch.  The
+    trace automaton's moves are runs — M-runs go straight down a band
+    column, D-runs (E state) left along a row, I-runs (F state) down an
+    anti-diagonal — so every cell's full run (length + landing cell) is
+    precomputable with three *vectorized* scans over the flag matrix
+    (no gathers), and the walk jumps one RUN per gather round: ~6-10
+    rounds for 100 bp reads instead of ~460 steps.  (ref: the
+    reference's per-thread flag walk, traceback_inl.h — same trace,
+    batch-parallel run-compressed schedule.)
+
+    Flag encoding (banded_directions_*): bits 0-1 H-source (0 diag,
+    1 E, 2 F, 3 origin), bit 2 e_done, bit 3 f_done; cell (i, k) of the
+    walk reads flag row i-1.
+
+    Returns (p_start, t_k_final, run_ops (R, MAXR) uint8 codes
+    {0 none, 1 M, 2 D, 3 I}, run_lens (R, MAXR) int32), runs in
+    end->start walk order.
+    """
+    R, LPS = dirs_flat.shape
+    ROWS = LPS // STRIDE
+    F = dirs_flat.reshape(R, ROWS, STRIDE).astype(jnp.int32)
+    f2 = F & 3
+
+    # M-runs: consecutive diag flags down a column.  NZ[r, k] = last
+    # row <= r with a non-diag flag (-1 if none); at a diag cell the
+    # run lands at pattern row NZ+1 after r - NZ M ops.
+    ridx = jnp.arange(ROWS, dtype=jnp.int32)[None, :, None]
+    NZ = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(f2 != 0, ridx, -1), axis=1)
+    # D-runs (E state): left along the row to the nearest gap-open.
+    # EE[r, k] = last column <= k with e_done (-1 if none).
+    cidx = jnp.arange(STRIDE, dtype=jnp.int32)[None, None, :]
+    EE = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(((F >> 2) & 1) == 1, cidx, -1), axis=2)
+    # I-runs (F state): down-right along an anti-diagonal (constant
+    # text column).  G[r, k] = steps to the nearest f_done along it.
+    BIG = jnp.int32(1 << 12)
+    bit3 = ((F >> 3) & 1) == 1
+
+    def gstep(carry, b3row):
+        shifted = jnp.concatenate(
+            [carry[:, 1:], jnp.full((R, 1), BIG, jnp.int32)], axis=1)
+        g = jnp.where(b3row, 0, jnp.minimum(shifted + 1, BIG))
+        return g, g
+
+    _, Gs = jax.lax.scan(
+        gstep, jnp.full((R, STRIDE), BIG, jnp.int32),
+        bit3.transpose(1, 0, 2))
+    G = Gs.transpose(1, 0, 2)
+
+    # one packed int32 descriptor per cell:
+    # op(2) | term(1) | next_i(10) | next_k(7) | len(10)
+    i_cell = ridx + 1
+    m_ni, m_nk, m_len = NZ + 1, cidx, ridx - NZ
+    e_ni, e_nk, e_len = i_cell, EE - 1, cidx - EE + 1
+    f_ni, f_nk, f_len = ridx - G, cidx + G + 1, G + 1
+    is_m = f2 == 0
+    is_e = f2 == 1
+    is_f = f2 == 2
+    ni = jnp.where(is_m, m_ni, jnp.where(is_e, e_ni, f_ni))
+    nk = jnp.where(is_m, m_nk, jnp.where(is_e, e_nk, f_nk))
+    ln = jnp.where(is_m, m_len, jnp.where(is_e, e_len, f_len))
+    op = jnp.where(is_m, 1, jnp.where(is_e, 2, jnp.where(is_f, 3, 0)))
+    # terminal: origin flag, or a garbage lane whose run never closes
+    # (no e_done / f_done reachable) or lands outside the band —
+    # genuine traces terminate via origin/i==0 inside the band; garbage
+    # lanes (results discarded) must still STOP so the all-done early
+    # exit is never pinned by a straggler
+    term = ((f2 == 3) | (is_e & (EE < 0)) | (is_f & (G >= BIG))
+            | (nk < 0) | (nk >= STRIDE))
+    ni = jnp.clip(ni, 0, ROWS)
+    nk = jnp.clip(nk, 0, STRIDE - 1)
+    ln = jnp.clip(ln, 0, 1023)
+    desc = (op | (term.astype(jnp.int32) << 2) | (ni << 3) | (nk << 13)
+            | (ln << 20))
+    desc_flat = desc.reshape(R, LPS)
+
+    MAXR = 2 * ROWS + STRIDE + 4  # run-count bound (each round emits
+    # >= 1 op or terminates; ops <= 2*ROWS + STRIDE for genuine paths)
+
+    def jbody(carry):
+        i, k, done, t, rops, rlens = carry
+        done = done | (i <= 0) | (k < 0) | (k >= STRIDE)
+        idx = jnp.clip((i - 1) * STRIDE + k, 0, LPS - 1)
+        d = jnp.take_along_axis(desc_flat, idx[:, None], axis=1)[:, 0]
+        act = ~done & (((d >> 2) & 1) == 0)
+        done = done | (((d >> 2) & 1) == 1)
+        rops = jax.lax.dynamic_update_slice(
+            rops, jnp.where(act, d & 3, 0).astype(jnp.uint8)[None],
+            (t, 0))
+        rlens = jax.lax.dynamic_update_slice(
+            rlens,
+            jnp.where(act, (d >> 20) & 1023, 0).astype(jnp.int32)[None],
+            (t, 0))
+        i = jnp.where(act, (d >> 3) & 1023, i)
+        k = jnp.where(act, (d >> 13) & 127, k)
+        return (i, k, done, t + 1, rops, rlens)
+
+    done0 = (jnp.zeros((R,), bool) if active is None
+             else ~active.astype(bool))
+    (fi, fk, _, _, rops, rlens) = jax.lax.while_loop(
+        lambda c: (c[3] < MAXR) & ~jnp.all(c[2]),
+        jbody,
+        (i0, k0, done0, jnp.int32(0),
+         jnp.zeros((MAXR, R), jnp.uint8),
+         jnp.zeros((MAXR, R), jnp.int32)),
+    )
+    return fi, fk, rops.T, rlens.T
 
 
 @dataclass
@@ -608,6 +698,10 @@ class Mapper:
         self.gwords = (pack_genome_words(gp[: self.n])
                        if use_pallas else None)
         self.use_pallas = use_pallas
+        # 2-step FM-index: halves the backward-search gather chain;
+        # with a bi-marked SSA also shortens the locate walk
+        self.fm2 = build_fm2(fm) if self.params.use_fm2 else None
+        self.bi = bool(getattr(ssa, "bi", 0))
         # cumulative count of locate-budget slots dropped on overflow
         # (params.locate_frac / mm_locate_frac; see locate_compact)
         self.locate_dropped = 0
@@ -678,7 +772,7 @@ class Mapper:
         res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, active=fwd["aligned"],
         )
         return (seqs, lens, quals, fwd, res, walk, R)
 
@@ -731,7 +825,7 @@ class Mapper:
         return map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
-            gwords=self.gwords,
+            gwords=self.gwords, fm2=self.fm2, bi=self.bi,
         )
 
     @staticmethod
@@ -756,7 +850,9 @@ class Mapper:
         second = np.asarray(fwd["second"])
         has_second = np.asarray(fwd["has_second"])
         mapq = np.asarray(fwd["mapq"])
-        ops = np.asarray(walk["ops"])
+        run_lens = np.where(aligned[:, None],
+                            np.asarray(walk["run_lens"]), 0)
+        ops = runs_to_packed(np.asarray(walk["run_ops"]), run_lens)
         p_start = np.asarray(walk["p_start"])
         t_start = np.asarray(walk["t_start"])
         is_global = self.params.atype == AlignmentType.GLOBAL
@@ -909,7 +1005,7 @@ class Mapper:
         fwd = map_all_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, k=k,
-            lut=self.lut, gwords=self.gwords,
+            lut=self.lut, gwords=self.gwords, fm2=self.fm2, bi=self.bi,
         )
         K = fwd["score"].shape[1]
         # traceback every slot: flatten (B, K) -> (B*K) pseudo-batch
@@ -919,6 +1015,7 @@ class Mapper:
             rep(jr), jnp.repeat(jl, K), rep(jq),
             fwd["win_start"].reshape(-1), fwd["strand"].reshape(-1),
             params=self.params, use_pallas=self.use_pallas,
+            active=fwd["valid"].reshape(-1),
         )
         flat_fwd = {
             "aligned": np.asarray(fwd["valid"]).reshape(-1),
@@ -958,7 +1055,8 @@ class Mapper:
         return recs
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "use_pallas", "k", "bi"))
 def map_all_batch(
     fm: FMIndex,
     ssa: SSA,
@@ -972,6 +1070,8 @@ def map_all_batch(
     k: int = 8,
     lut=None,
     gwords=None,
+    fm2=None,
+    bi: bool = False,
 ):
     """All-mappings forward step (ref: nvBowtie --all, all_inl.h).
 
@@ -986,6 +1086,7 @@ def map_all_batch(
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
         params=params, use_pallas=use_pallas, lut=lut, gwords=gwords,
+        fm2=fm2, bi=bi,
     )
     sc = cands["score"]
     order = jnp.argsort(-sc, axis=1)[:, :k]  # (R, k) score-descending

@@ -210,11 +210,12 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "use_pallas", "bi"))
 def pe_map_batch(
     fm, ssa, genome, r1, l1, q1, r2, l2, q2, *,
     params: MapperParams, use_pallas: bool = False, lut=None, span=None,
-    gwords=None,
+    gwords=None, fm2=None, bi: bool = False,
 ):
     """Paired forward step.  Returns per-mate dicts (aligned, strand,
     win_start, score, mapq, second) + pair-level info (proper,
@@ -230,9 +231,11 @@ def pe_map_batch(
     C = params.max_candidates
     n = fm.n
     c1 = candidate_stage(fm, ssa, genome, r1, l1, q1, params=params,
-                         use_pallas=use_pallas, lut=lut, gwords=gwords)
+                         use_pallas=use_pallas, lut=lut, gwords=gwords,
+                         fm2=fm2, bi=bi)
     c2 = candidate_stage(fm, ssa, genome, r2, l2, q2, params=params,
-                         use_pallas=use_pallas, lut=lut, gwords=gwords)
+                         use_pallas=use_pallas, lut=lut, gwords=gwords,
+                         fm2=fm2, bi=bi)
     smin1 = _score_min(l1, params)
     smin2 = _score_min(l2, params)
 
@@ -462,7 +465,7 @@ class PairedMapper(Mapper):
         m1, m2, pair = pe_map_batch(
             self.fm, self.ssa, self.genome, *args,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
-            gwords=self.gwords,
+            gwords=self.gwords, fm2=self.fm2, bi=self.bi,
         )
         nj = jnp.asarray(self.n, jnp.int32)
         walks = []
@@ -473,7 +476,7 @@ class PairedMapper(Mapper):
                 jnp.asarray(lp.astype(np.int32)),
                 jnp.asarray(qp.astype(np.uint8)),
                 mate["win_start"], mate["strand"], params=self.params,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, active=mate["aligned"],
             )
             walks.append((mate, res, walk))
         return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)

@@ -45,6 +45,11 @@ class MapperParams:
     # silently corrupts locate positions).  Matches build_index's
     # --sa-sample default.
     sa_sample: int = 4
+    # 2-step FM-index (fmindex/fm2.py): derived pair-BWT halves the
+    # backward-search dependent-gather chain and (with a bi-marked SSA)
+    # quarters the locate walk, for ~1 byte/bp extra device memory.
+    # Set False for memory-tight multi-shard hg-scale runs.
+    use_fm2: bool = True
     # cross-batch locate compaction budgets as fractions of the
     # (2R x max_locate) / 1-mismatch slot matrices (models/mapper.py
     # locate_compact): 1.0 locates every selected slot (pre-compaction

@@ -25,6 +25,11 @@ def main(argv=None):
                         "faster at ~4/K bytes-per-bp of extra SSA "
                         "memory (K=4 halves the mapper's locate cost "
                         "vs 8; raise for memory-tight HBM)")
+    p.add_argument("--sa-mono", action="store_true",
+                   help="mark only SA %% K == 0 rows (legacy). Default "
+                        "bi-marks SA %% K in {0,1} (2x SSA values) so "
+                        "the mapper's 2-step-LF locate walk needs "
+                        "floor((K-1)/2) gather rounds instead of K")
     p.add_argument("--n-seed", type=int, default=7,
                    help="RNG seed for ambiguous-base substitution")
     p.add_argument("--pac", help="also write a BWA-layout .pac here")
@@ -60,7 +65,7 @@ def main(argv=None):
         sidx = build_sharded_index(
             g["symbols"], shard_bp=args.shard_bp,
             overlap=args.shard_overlap, sa_sample=args.sa_sample,
-            lut_k=args.lut_k)
+            lut_k=args.lut_k, bi_sample=not args.sa_mono)
         save_sharded_index(prefix, sidx, g["symbols"].astype("int8"),
                            g["names"], g["lens"])
         print(f"[build_index] wrote {len(sidx.shards)}-shard index "
@@ -90,7 +95,8 @@ def main(argv=None):
         dt = time.time() - t1
         print(f"[build_index] suffix sort ({args.algorithm}): {dt:.1f}s "
               f"({n/max(dt,1e-9)/1e6:.1f} Mbp/s)", file=sys.stderr)
-    fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample, sa=sa)
+    fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample, sa=sa,
+                             bi_sample=not args.sa_mono)
     lut = None
     if args.lut_k > 0:
         from ..fmindex.build import build_kmer_lut
