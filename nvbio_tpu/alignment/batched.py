@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .types import AlignmentType, GotohScheme, NEG_INF
+from .types import AlignmentType, GotohScheme, NEG_INF, gap_penalties
 
 DIAG, FROM_E, FROM_F, ORIGIN = 0, 1, 2, 3
 PAD_SYMBOL = 7  # never matches; outside-text cells are masked anyway
@@ -80,7 +80,9 @@ def _row0_scheme(tlens, band_w, atype, scheme, n_batch):
             j0 == 0,
             0,
             jnp.where(
-                j0 > 0, -(scheme.gap_open + scheme.gap_extend * j0), NEG_INF
+                j0 > 0,
+            -(scheme.gap_open + scheme.gap_extend * j0),  # leading text
+            NEG_INF                                       # = E/read gap
             ),
         ).astype(jnp.int32)
     else:
@@ -96,21 +98,21 @@ def _row_step(H, F, p, q, tsl, valid, scheme, atype):
     tsl: text symbols under the band (B, BAND); valid: cell validity of
     the new row (B, BAND).  Returns (H_new, F_new, E_new, Hdiag, A).
     """
-    go, ge = scheme.gap_open, scheme.gap_extend
+    eo, ee, fo, fe = gap_penalties(scheme)
     s = _subst_scores(p, q, tsl, scheme)
     up_H = _shift_down_k(H)
     up_F = _shift_down_k(F)
-    f_open = up_H - (go + ge)
-    f_ext = up_F - ge
+    f_open = up_H - (fo + fe)
+    f_ext = up_F - fe
     F_new = jnp.maximum(f_open, f_ext)
     Hdiag = H + s
     Hhat = jnp.maximum(Hdiag, F_new)
     if atype == AlignmentType.LOCAL:
         Hhat = jnp.maximum(Hhat, 0)
     Hhat_m = jnp.where(valid, Hhat, NEG_INF)
-    A = _shift_up_k(Hhat_m) - (go + ge)
+    A = _shift_up_k(Hhat_m) - (eo + ee)
     B = A.shape[-1]
-    kk = jnp.arange(B, dtype=jnp.int32) * ge
+    kk = jnp.arange(B, dtype=jnp.int32) * ee
     E_new = jax.lax.cummax(A + kk[None, :], axis=A.ndim - 1) - kk[None, :]
     H_new = jnp.maximum(Hhat, E_new)
     if atype == AlignmentType.LOCAL:

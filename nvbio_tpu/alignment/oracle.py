@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .types import AlignmentType, GotohScheme, NEG_INF
+from .types import AlignmentType, GotohScheme, NEG_INF, gap_penalties
 
 # H-cell direction flags
 DIAG, FROM_E, FROM_F, ORIGIN = 0, 1, 2, 3
@@ -51,7 +51,7 @@ def align_oracle(
     pattern = np.asarray(pattern, dtype=np.int32)
     text = np.asarray(text, dtype=np.int32)
     M, N = len(pattern), len(text)
-    go, ge = scheme.gap_open, scheme.gap_extend
+    eo, ee, fo, fe = gap_penalties(scheme)
     if quals is None:
         quals = np.full(M, 40, dtype=np.int32)
 
@@ -79,7 +79,7 @@ def align_oracle(
         if not in_band(0, j):
             continue
         if atype == AlignmentType.GLOBAL:
-            E[0][j] = -(go + j * ge)
+            E[0][j] = -(eo + j * ee)
             H[0][j] = E[0][j]
             flagH[0][j] = FROM_E
             openE[0][j] = j == 1
@@ -93,7 +93,7 @@ def align_oracle(
             H[i][0] = 0
             Hhat[i][0] = 0
         else:  # leading pattern symbols = costed insertions
-            F[i][0] = -(go + i * ge)
+            F[i][0] = -(fo + i * fe)
             H[i][0] = F[i][0]
             Hhat[i][0] = F[i][0]
             flagH[i][0] = FROM_F
@@ -110,8 +110,8 @@ def align_oracle(
             # F: gap in text (consumes pattern), from above (full H:
             # opening after an E gap is a legal gap-close-gap path)
             if in_band(i - 1, j):
-                f_open = H[i - 1][j] - go - ge
-                f_ext = F[i - 1][j] - ge
+                f_open = H[i - 1][j] - fo - fe
+                f_ext = F[i - 1][j] - fe
                 F[i][j] = max(f_open, f_ext)
                 openF[i][j] = f_open >= f_ext
             hh = max(diag, F[i][j])
@@ -120,8 +120,8 @@ def align_oracle(
             Hhat[i][j] = hh
             # E: gap in pattern (consumes text), from the left.
             if in_band(i, j - 1):
-                e_open = Hhat[i][j - 1] - go - ge
-                e_ext = E[i][j - 1] - ge
+                e_open = Hhat[i][j - 1] - eo - ee
+                e_ext = E[i][j - 1] - ee
                 E[i][j] = max(e_open, e_ext)
                 openE[i][j] = e_open >= e_ext
             best = max(hh, E[i][j])

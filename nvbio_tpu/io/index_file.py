@@ -25,7 +25,7 @@ FORMAT_VERSION = 1
 
 def save_index(path, fm: FMIndex, ssa: SSA, genome: np.ndarray,
                contig_names, contig_lens, sa_sample: int,
-               lut=None, lut_k: int = 0):
+               lut=None, lut_k: int = 0, amb=None):
     meta = {
         "version": FORMAT_VERSION,
         "sa_sample": int(sa_sample),
@@ -33,6 +33,9 @@ def save_index(path, fm: FMIndex, ssa: SSA, genome: np.ndarray,
         "lut_k": int(lut_k if lut is not None else 0),
         "contig_names": list(contig_names),
         "contig_lens": [int(x) for x in contig_lens],
+        # substituted-N runs as [start, len] pairs (the BWA .amb
+        # content; io/bwa_files.py export needs them)
+        "amb": [[int(a), int(b)] for a, b in (amb or [])],
     }
     extra = {}
     if lut is not None:

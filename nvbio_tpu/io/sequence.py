@@ -90,13 +90,15 @@ def iter_txt_reads(path):
             i += 1
 
 
-def open_read_iter(path):
-    """Pick a reader by extension (ref: open_sequence_file sniffing)."""
+def open_read_iter(path, qual_enc: str = "phred33"):
+    """Pick a reader by extension (ref: open_sequence_file sniffing).
+    ``qual_enc`` applies to FASTQ (other formats carry Phred33 or no
+    qualities)."""
     base = _strip_gz(path).lower()
     if base.endswith((".fq", ".fastq")):
         from .fastq import iter_fastq
 
-        return iter_fastq(path)
+        return iter_fastq(path, qual_enc=qual_enc)
     if base.endswith((".fa", ".fasta", ".fna")):
         return iter_fasta_reads(path)
     if base.endswith(".sam"):
@@ -112,8 +114,9 @@ class ReadBatchIterator:
     """Batch any supported format into (names, seqs, quals) lists —
     the generic version of FastqBatchReader (InputThread equivalent)."""
 
-    def __init__(self, path, batch_size: int):
-        self.it = open_read_iter(path)
+    def __init__(self, path, batch_size: int,
+                 qual_enc: str = "phred33"):
+        self.it = open_read_iter(path, qual_enc=qual_enc)
         self.batch_size = batch_size
 
     def __iter__(self):

@@ -72,8 +72,36 @@ def _revcomp_batch(reads, lens, quals):
 
 
 def _score_min(lens, params: MapperParams):
-    v = params.score_min_a + params.score_min_b * lens.astype(jnp.float32)
+    """Per-read minimum acceptable score: Bowtie2 --score-min function
+    ``fn,a,b`` applied to read length (ref: bowtie2 SimpleFunc /
+    params.cpp --score-min; C constant, L linear, S sqrt, G log)."""
+    x = lens.astype(jnp.float32)
+    fn = params.score_min_fn
+    if fn == "C":
+        g = jnp.ones_like(x)
+        v = jnp.full_like(x, params.score_min_a)
+        return jnp.ceil(v).astype(jnp.int32)
+    if fn == "L":
+        g = x
+    elif fn == "S":
+        g = jnp.sqrt(x)
+    elif fn == "G":
+        g = jnp.log(jnp.maximum(x, 1.0))
+    else:
+        raise ValueError(f"unknown score-min function {fn!r}")
+    v = params.score_min_a + params.score_min_b * g
     return jnp.ceil(v).astype(jnp.int32)
+
+
+def score_min_host(L: int, params: MapperParams) -> int:
+    """Host-scalar twin of _score_min."""
+    import math as _m
+    fn = params.score_min_fn
+    g = {"C": 1.0, "L": float(L), "S": _m.sqrt(L),
+         "G": _m.log(max(L, 1))}[fn]
+    if fn == "C":
+        return _m.ceil(params.score_min_a)
+    return _m.ceil(params.score_min_a + params.score_min_b * g)
 
 
 def _score_perfect(lens, params: MapperParams):
@@ -457,10 +485,12 @@ def unpack_dirs(packed: np.ndarray, band: int) -> np.ndarray:
     return dirs[:, :, :band]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "use_pallas", "interpret"))
 def traceback_walk_batch(
     genome, n, reads, lens, quals, win_start, strand, *,
-    params: MapperParams, use_pallas: bool = False, active=None
+    params: MapperParams, use_pallas: bool = False, active=None,
+    interpret: bool = False,
 ):
     """Winners-only DP + ON-DEVICE traceback walk.
 
@@ -479,13 +509,15 @@ def traceback_walk_batch(
     tlens = jnp.clip(n - win_start, 0, LT)
     return traceback_walk_windows(texts, tlens, reads, lens, quals,
                                   strand, params=params,
-                                  use_pallas=use_pallas, active=active)
+                                  use_pallas=use_pallas, active=active,
+                                  interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "use_pallas", "interpret"))
 def traceback_walk_windows(
     texts, tlens, reads, lens, quals, strand, *, params: MapperParams,
-    use_pallas: bool = False, active=None
+    use_pallas: bool = False, active=None, interpret: bool = False,
 ):
     """Core of traceback_walk_batch over pre-gathered window texts
     (shape (R, L + 2*band_w)).  Sharded mappers gather each lane's
@@ -502,11 +534,15 @@ def traceback_walk_windows(
     if use_pallas:
         from ..ops.banded_dp import banded_directions_pallas
 
-        res, dirs_flat, STRIDE = banded_directions_pallas(
+        res, dirs_flat, _ = banded_directions_pallas(
             pats, lens, texts, tlens, pquals,
             scheme=params.scheme, atype=params.atype, band_w=W,
+            interpret=interpret,
         )
         LPS = dirs_flat.shape[1]
+        # static stride: the jitted callee's Python-int return is a
+        # tracer under an outer jit, but _runjump_walk reshapes with it
+        STRIDE = LPS // ((L + 7) // 8 * 8)
     else:
         res, dirs = banded_directions_batch(
             pats, lens, texts, tlens, pquals,
@@ -517,8 +553,9 @@ def traceback_walk_windows(
         LPS = L * BAND
     i0 = res["p_end"].astype(jnp.int32)
     k0 = res["t_end"].astype(jnp.int32) - i0 + W
-    fi, fk, run_ops, run_lens = _runjump_walk(dirs_flat, STRIDE, i0, k0,
-                                              active=active)
+    fi, fk, run_ops, run_lens = _runjump_walk(
+        dirs_flat, STRIDE, i0, k0, active=active,
+        max_runs=_max_cigar_runs(L, params))
     return res, {
         "run_ops": run_ops,
         "run_lens": run_lens,
@@ -527,7 +564,25 @@ def traceback_walk_windows(
     }
 
 
-def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None):
+def _max_cigar_runs(L: int, params: MapperParams) -> int:
+    """Worst-case CIGAR run count of any alignment that can pass
+    score-min: each gap RUN costs at least open + extend, so the
+    accepted-score budget bounds the gap-run count, and M runs can only
+    interleave them.  Bounds _runjump_walk's output arrays (their
+    host transfer is per-batch) and its round count.  Sub-threshold
+    lanes may need more rounds, but their results are discarded
+    (callers gate on score >= score-min before using any walk)."""
+    from ..alignment.types import gap_penalties
+    eo, ee, fo, fe = gap_penalties(params.scheme)
+    smin = score_min_host(L, params)
+    budget = max(L * params.scheme.match - smin, 0)
+    per_run = max(min(eo, fo) + min(ee, fe), 1)
+    gap_runs = budget // per_run
+    return int(min(2 * gap_runs + 4, 2 * L + 4))
+
+
+def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None,
+                  max_runs: int | None = None):
     """Run-level traceback walk: O(#CIGAR-runs) gather rounds.
 
     A per-step walk is a chain of ~2L dependent single-element gathers;
@@ -611,6 +666,13 @@ def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None):
 
     MAXR = 2 * ROWS + STRIDE + 4  # run-count bound (each round emits
     # >= 1 op or terminates; ops <= 2*ROWS + STRIDE for genuine paths)
+    if max_runs is not None:
+        # tighter score-budget bound (_max_cigar_runs): every lane a
+        # caller will consume finishes within it; sub-threshold lanes
+        # that would walk longer just stop with garbage runs, which
+        # the score >= score-min gate discards.  MAXR sizes BOTH the
+        # round count and the (MAXR, R) outputs shipped to the host.
+        MAXR = min(MAXR, max_runs)
 
     def jbody(carry):
         i, k, done, t, rops, rlens = carry

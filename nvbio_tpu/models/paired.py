@@ -36,6 +36,7 @@ from .mapper import (
     traceback_walk_batch,
     _revcomp_batch,
     _score_min,
+    score_min_host,
     _score_perfect,
     Mapper,
     MapResult,
@@ -96,9 +97,13 @@ def _chunk_plan(L: int, LT: int, params):
     if params.atype != AlignmentType.SEMI_GLOBAL:
         return None
     w_c = 63
-    smin = math.ceil(params.score_min_a + params.score_min_b * L)
+    smin = score_min_host(L, params)
     budget = L * params.scheme.match - smin
-    t_aff = (budget - params.scheme.gap_open) // params.scheme.gap_extend
+    # conservative drift bound: the cheapest gap family affords the
+    # most extension steps
+    from ..alignment.types import gap_penalties
+    _eo, _ee, _fo, _fe = gap_penalties(params.scheme)
+    t_aff = (budget - min(_eo, _fo)) // min(_ee, _fe)
     margin = w_c - int(t_aff)
     if margin < 12:
         return None

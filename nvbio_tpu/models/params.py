@@ -33,8 +33,11 @@ class MapperParams:
     band_w: int = 15
     scheme: GotohScheme = GotohScheme()
     local: bool = False
-    # score-min linear function of read length: a + b * len (bowtie2
-    # end-to-end default --score-min L,-0.6,-0.6)
+    # score-min as a Bowtie2 SimpleFunc of read length x:
+    # C -> a; L -> a + b*x; S -> a + b*sqrt(x); G -> a + b*ln(x)
+    # (bowtie2 end-to-end default --score-min L,-0.6,-0.6; local mode
+    # default G,20,8)
+    score_min_fn: str = "L"
     score_min_a: float = -0.6
     score_min_b: float = -0.6
     # MEM seeding (nvMem pipeline; BWA-MEM-style defaults)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..alignment.types import AlignmentType, GotohScheme, NEG_INF
+from ..alignment.types import (AlignmentType, GotohScheme, NEG_INF,
+                               gap_penalties)
 
 PAD_SYMBOL = 7
 # Sentinel semantics (int32 body): text symbol 7 scores SENT_S against
@@ -76,8 +77,9 @@ def _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND):
     loop input tiles (pattern N/pad rows -> 9; quality-aware mismatch
     penalty with pattern-N folded in).  One definition keeps the
     score, packed and directions paths' scheme semantics in lockstep."""
-    worst = scheme.gap_open + (Lp8 + BAND) * max(
-        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+    _eo, _ee, _fo, _fe = gap_penalties(scheme)
+    worst = max(_eo, _fo) + (Lp8 + BAND) * max(
+        _ee, _fe, scheme.mismatch_max, scheme.n_penalty,
         abs(scheme.match))
     assert worst < -SCORE_FLOOR, (
         f"scores may cross the sentinel floor (worst={worst}); "
@@ -117,7 +119,7 @@ def _make_kernel_masked(Lp: int, scheme: GotohScheme, atype: AlignmentType,
     reachable score when Lp * max_penalty stays within the headroom
     (guarded in the wrapper); masked cells carry NEG16 and are
     re-masked every row so they never drift toward overflow."""
-    go, ge = scheme.gap_open, scheme.gap_extend
+    eo, ee, fo, fe = gap_penalties(scheme)
     is_local = atype == AlignmentType.LOCAL
     NEG_VAL = NEG_INF if cd == jnp.int32 else -20000
 
@@ -134,11 +136,11 @@ def _make_kernel_masked(Lp: int, scheme: GotohScheme, atype: AlignmentType,
         krange = jax.lax.broadcasted_iota(
             jnp.int32, (BAND_PAD, TB), 0).astype(cd)
         in_band = krange < BAND
-        kk = krange * jnp.asarray(ge, cd)
+        kk = krange * jnp.asarray(ee, cd)
         j0 = krange - jnp.asarray(band_w, cd)
         if atype == AlignmentType.GLOBAL:
             h0 = jnp.where(
-                j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG)
+                j0 == 0, 0, jnp.where(j0 > 0, -(eo + ee * j0), NEG)
             ).astype(cd)
         else:
             h0 = jnp.where(j0 >= 0, 0, NEG).astype(cd)
@@ -175,13 +177,13 @@ def _make_kernel_masked(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             )
             up_H = _shift_down(H, NEG)
             up_F = _shift_down(F, NEG)
-            F_new = jnp.maximum(up_H - jnp.asarray(go + ge, cd),
-                                up_F - jnp.asarray(ge, cd))
+            F_new = jnp.maximum(up_H - jnp.asarray(fo + fe, cd),
+                                up_F - jnp.asarray(fe, cd))
             Hhat = jnp.maximum(H + s, F_new)
             if is_local:
                 Hhat = jnp.maximum(Hhat, 0)
             Hhat_m = jnp.where(valid, Hhat, NEG)
-            A = _shift_up_by(Hhat_m, 1, NEG) - jnp.asarray(go + ge, cd)
+            A = _shift_up_by(Hhat_m, 1, NEG) - jnp.asarray(eo + ee, cd)
             # weighted cummax (Kogge-Stone along the band)
             Ew = A + kk
             d = 1
@@ -314,7 +316,7 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
         already require score >= score-min > 0).
     Outputs below SCORE_FLOOR are clamped to NEG_INF.
     """
-    go, ge = scheme.gap_open, scheme.gap_extend
+    eo, ee, fo, fe = gap_penalties(scheme)
     is_local = atype == AlignmentType.LOCAL
     cd = jnp.int32
     CH = 8
@@ -324,13 +326,13 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
         NEG = jnp.asarray(NEG_INF, cd)
         krange = jax.lax.broadcasted_iota(jnp.int32, (BAND_PAD, TB), 0)
         in_band = krange < BAND
-        kk = krange * ge
-        # E-scan constant: A = shift(Hhat) + (kk - go - ge)
-        ksub = kk - (go + ge)
+        kk = krange * ee
+        # E-scan constant: A = shift(Hhat) + (kk - eo - ee)
+        ksub = kk - (eo + ee)
         j0 = krange - band_w
         tlen = jnp.broadcast_to(tlen_ref[0:1, :], (BAND_PAD, TB))
         if atype == AlignmentType.GLOBAL:
-            h0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, -(go + ge * j0), NEG))
+            h0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, -(eo + ee * j0), NEG))
         else:
             h0 = jnp.where(j0 >= 0, 0, NEG)
         H0 = jnp.where((j0 <= tlen) & in_band, h0, NEG).astype(cd)
@@ -357,8 +359,8 @@ def _make_kernel32(Lp: int, scheme: GotohScheme, atype: AlignmentType,
             )
             up_H = _shift_down(H, NEG)
             up_F = _shift_down(F, NEG)
-            f_open = up_H - (go + ge)
-            F_new = jnp.maximum(f_open, up_F - ge)
+            f_open = up_H - (fo + fe)
+            F_new = jnp.maximum(f_open, up_F - fe)
             Hdiag = H + s
             Hhat = jnp.maximum(Hdiag, F_new)
             if is_local:
@@ -814,8 +816,9 @@ def banded_score_pallas_staged(
     )
     # int16 DP state when every reachable score fits the headroom and
     # the tie-break key fits (LOCAL), with 16-row-aligned chunks
-    worst = scheme.gap_open + (Lp8 + BAND) * max(
-        scheme.gap_extend, scheme.mismatch_max, scheme.n_penalty,
+    _eo, _ee, _fo, _fe = gap_penalties(scheme)
+    worst = max(_eo, _fo) + (Lp8 + BAND) * max(
+        _ee, _fe, scheme.mismatch_max, scheme.n_penalty,
         abs(scheme.match))
     i16_ok = (worst < 9000 and Lp8 % 16 == 0
               and (Lp8 + 1) * BAND_PAD < 24576

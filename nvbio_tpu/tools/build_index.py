@@ -106,7 +106,7 @@ def main(argv=None):
         lut = build_kmer_lut(g["symbols"], sa, k=args.lut_k)
     save_index(args.output, fm, ssa, g["symbols"].astype("int8"),
                g["names"], g["lens"], args.sa_sample,
-               lut=lut, lut_k=args.lut_k)
+               lut=lut, lut_k=args.lut_k, amb=g["amb"])
     if args.pac:
         write_pac(args.pac, g["symbols"])
     print(f"[build_index] wrote {args.output} in {time.time()-t0:.1f}s",

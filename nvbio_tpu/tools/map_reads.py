@@ -22,13 +22,41 @@ def main(argv=None):
     p.add_argument("-2", dest="m2", help="mate-2 FASTQ(.gz)")
     p.add_argument("-S", "--sam", required=True, help="output SAM(.gz)")
     p.add_argument("-L", "--seed-len", type=int, default=22)
-    p.add_argument("-i", "--seed-interval", type=int, default=11)
+    p.add_argument("-i", "--seed-interval", default="S,1,1.15",
+                   help="seed interval: a constant (e.g. 11) or a "
+                   "Bowtie2 function FN,A,B of read length x (C const, "
+                   "L linear, S sqrt, G ln; default S,1,1.15). "
+                   "Functions are evaluated once on the first read's "
+                   "length (one static shape per run)")
     p.add_argument("-N", dest="seed_mm", type=int, default=0, choices=[0, 1],
                    help="mismatches allowed in seed (bowtie2 -N)")
     p.add_argument("--max-read-len", type=int, default=320)
     p.add_argument("--minins", type=int, default=0)
     p.add_argument("--maxins", type=int, default=500)
     p.add_argument("--local", action="store_true")
+    p.add_argument("--ma", type=int, default=None,
+                   help="match bonus (default: 2 in --local, 0 "
+                   "end-to-end; bowtie2 --ma)")
+    p.add_argument("--mp", default="6,2", metavar="MX,MN",
+                   help="max,min mismatch penalty; actual penalty "
+                   "scales with base quality (bowtie2 --mp)")
+    p.add_argument("--np", dest="n_pen", type=int, default=1,
+                   help="penalty for positions with N (bowtie2 --np)")
+    p.add_argument("--rdg", default="5,3", metavar="O,E",
+                   help="read gap open,extend penalties (CIGAR D; "
+                   "bowtie2 --rdg)")
+    p.add_argument("--rfg", default="5,3", metavar="O,E",
+                   help="reference gap open,extend penalties (CIGAR "
+                   "I; bowtie2 --rfg)")
+    p.add_argument("--score-min", default=None, metavar="FN,A,B",
+                   help="minimum score function of read length "
+                   "(bowtie2 --score-min; default L,-0.6,-0.6 "
+                   "end-to-end, G,20,8 --local)")
+    p.add_argument("--phred64", action="store_true",
+                   help="input qualities are Phred+64")
+    p.add_argument("--solexa-quals", action="store_true",
+                   help="input qualities are Solexa+64 (converted to "
+                   "Phred)")
     p.add_argument("-a", "--all", dest="all_hits", action="store_true",
                    help="report all alignments above score-min "
                    "(nvBowtie --all; secondary records FLAG 0x100)")
@@ -81,6 +109,56 @@ def main(argv=None):
     from ..models.paired import PairedMapper
     from ..strings import pack_reads
     from ..utils.stats import MappingStats
+    from ..alignment.types import GotohScheme
+
+    def _pair(txt, flag):
+        try:
+            a, b = txt.split(",")
+            return int(a), int(b)
+        except ValueError:
+            p.error(f"{flag} wants two comma-separated ints, got {txt!r}")
+
+    def _func(txt, flag):
+        """Bowtie2 SimpleFunc literal FN,A,B."""
+        try:
+            fn, a, b = txt.split(",")
+            fn = fn.strip().upper()
+            assert fn in "CLSG"
+            return fn, float(a), float(b)
+        except (ValueError, AssertionError):
+            p.error(f"{flag} wants FN,A,B with FN in C/L/S/G, got {txt!r}")
+
+    def _eval_func(fn, a, b, x):
+        import math
+        g = {"C": 1.0, "L": float(x), "S": math.sqrt(x),
+             "G": math.log(max(x, 1))}[fn]
+        return a if fn == "C" else a + b * g
+
+    qual_enc = ("solexa64" if args.solexa_quals
+                else "phred64" if args.phred64 else "phred33")
+    mp_mx, mp_mn = _pair(args.mp, "--mp")
+    rdg_o, rdg_e = _pair(args.rdg, "--rdg")
+    rfg_o, rfg_e = _pair(args.rfg, "--rfg")
+    ma = args.ma if args.ma is not None else (2 if args.local else 0)
+    scheme = GotohScheme(
+        match=ma, mismatch_min=mp_mn, mismatch_max=mp_mx,
+        n_penalty=args.n_pen, gap_open=rdg_o, gap_extend=rdg_e,
+        ref_gap_open=rfg_o, ref_gap_extend=rfg_e)
+    sm = args.score_min or ("G,20,8" if args.local else "L,-0.6,-0.6")
+    sm_fn, sm_a, sm_b = _func(sm, "--score-min")
+
+    # seed interval: constant or a function of read length, evaluated
+    # once on the first read (one static seeding shape per run)
+    try:
+        seed_interval = int(args.seed_interval)
+    except ValueError:
+        fn, a, b = _func(args.seed_interval, "-i")
+        from ..io.sequence import open_read_iter
+        L0 = 100
+        for _, s0, _ in open_read_iter(args.U or args.m1):
+            L0 = len(s0)
+            break
+        seed_interval = max(1, int(_eval_func(fn, a, b, L0) + 0.5))
 
     # sharded index? (-x may be a manifest prefix or the .json itself)
     import os as _os
@@ -102,9 +180,13 @@ def main(argv=None):
         sharded = False
     params = MapperParams(
         seed_len=args.seed_len,
-        seed_interval=args.seed_interval,
+        seed_interval=seed_interval,
         seed_mismatches=args.seed_mm,
         local=args.local,
+        scheme=scheme,
+        score_min_fn=sm_fn,
+        score_min_a=sm_a,
+        score_min_b=sm_b,
         minins=args.minins,
         maxins=args.maxins,
         batch_size=args.batch,
@@ -152,7 +234,8 @@ def main(argv=None):
         """Input batches, optionally restricted to this host's shard
         (per-host byte-range input, SURVEY.md §5.8)."""
         if args.num_shards <= 1:
-            yield from ReadBatchIterator(path, args.batch)
+            yield from ReadBatchIterator(path, args.batch,
+                                         qual_enc=qual_enc)
             return
         from ..parallel.distributed import shard_fastq, read_fastq_range
 
@@ -212,8 +295,10 @@ def main(argv=None):
         else:
             # double-buffered PE path (ComputeThreadPE equivalent)
             def packed_pe():
-                it1 = FastqBatchReader(args.m1, args.batch)
-                it2 = FastqBatchReader(args.m2, args.batch)
+                it1 = FastqBatchReader(args.m1, args.batch,
+                                       qual_enc=qual_enc)
+                it2 = FastqBatchReader(args.m2, args.batch,
+                                       qual_enc=qual_enc)
                 for (n1, s1, q1), (n2, s2, q2) in zip(it1, it2):
                     r1, l1, qm1, _ = pack_reads(
                         s1, q1, max_len=args.max_read_len)

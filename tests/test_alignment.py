@@ -58,19 +58,33 @@ def _score_from_cigar(pat, text, quals, scheme, cigar, p_start, t_start):
                 i += 1
                 j += 1
         else:
-            s -= scheme.gap_open + length * scheme.gap_extend
-            if op == "I":
+            from nvbio_tpu.alignment.types import gap_penalties
+            eo, ee, fo, fe = gap_penalties(scheme)
+            if op == "I":  # F: reference gap
+                s -= fo + length * fe
                 i += length
-            else:
+            else:  # D: read gap
+                s -= eo + length * ee
                 j += length
     return s
 
+
+#: asymmetric gaps: read gaps (D) cheap, reference gaps (I) expensive
+ASYM_SCHEME = GotohScheme(gap_open=3, gap_extend=1,
+                          ref_gap_open=8, ref_gap_extend=4)
+#: the mirror: reference gaps cheap
+ASYM_SCHEME2 = GotohScheme(gap_open=8, gap_extend=4,
+                           ref_gap_open=2, ref_gap_extend=2)
 
 CASES = [
     (GotohScheme(), AlignmentType.SEMI_GLOBAL),
     (GotohScheme(), AlignmentType.GLOBAL),
     (BOWTIE2_LOCAL_SCHEME, AlignmentType.LOCAL),
     (EDIT_DISTANCE_SCHEME, AlignmentType.SEMI_GLOBAL),
+    (ASYM_SCHEME, AlignmentType.SEMI_GLOBAL),
+    (ASYM_SCHEME, AlignmentType.GLOBAL),
+    (ASYM_SCHEME2, AlignmentType.SEMI_GLOBAL),
+    (ASYM_SCHEME2, AlignmentType.LOCAL),
 ]
 
 

@@ -40,6 +40,10 @@ def _random_batch(seed):
         (GotohScheme(), AlignmentType.SEMI_GLOBAL),
         (BOWTIE2_LOCAL_SCHEME, AlignmentType.LOCAL),
         (GotohScheme(), AlignmentType.GLOBAL),
+        # asymmetric --rdg/--rfg penalties (read gaps != ref gaps)
+        (GotohScheme(gap_open=3, gap_extend=1,
+                     ref_gap_open=8, ref_gap_extend=4),
+         AlignmentType.SEMI_GLOBAL),
     ],
 )
 def test_pallas_matches_xla(scheme, atype):

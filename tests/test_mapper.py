@@ -250,3 +250,45 @@ def test_native_finish_matches_python_walk(mapper):
                 a.ref_span, a.score, a.mapq) == \
                (b.aligned, b.pos, b.strand, b.cigar, b.md, b.nm,
                 b.ref_span, b.score, b.mapq)
+
+
+def test_pallas_interpret_traceback_walk_matches_xla(mapper):
+    """The nested walk path (banded_directions_pallas inside the jitted
+    traceback_walk_windows) must produce the same CIGAR runs as the XLA
+    twin — regression for the traced-STRIDE reshape bug (the jitted
+    callee's Python-int stride return is a tracer under an outer jit)."""
+    import jax.numpy as jnp
+    from nvbio_tpu.models.mapper import traceback_walk_batch
+
+    m, genome = mapper
+    sim = simulate_reads(genome, N_READS, READ_LEN, error_rate=0.02,
+                         seed=33)
+    reads, lens, quals, _ = pack_reads(
+        list(sim["seqs"].astype(np.uint8)), list(sim["quals"]))
+    jr = jnp.asarray(reads)
+    jl = jnp.asarray(lens.astype(np.int32))
+    jq32 = jnp.asarray(quals.astype(np.int32))
+    jq8 = jnp.asarray(quals.astype(np.uint8))
+    fwd = m._forward(jr, jl, jq32)
+    args = (m.genome, jnp.asarray(m.n, jnp.int32), jr, jl, jq8,
+            fwd["win_start"], fwd["strand"])
+    _, wx = traceback_walk_batch(*args, params=m.params,
+                                 use_pallas=False,
+                                 active=fwd["aligned"])
+    _, wp = traceback_walk_batch(*args, params=m.params,
+                                 use_pallas=True, interpret=True,
+                                 active=fwd["aligned"])
+    aligned = np.asarray(fwd["aligned"])
+    assert aligned.sum() > N_READS // 2
+
+    def runs(walk, r):
+        ro = np.asarray(walk["run_ops"][r])
+        rl = np.asarray(walk["run_lens"][r])
+        return [(int(o), int(l)) for o, l in zip(ro, rl) if l > 0]
+
+    for r in range(N_READS):
+        if not aligned[r]:
+            continue
+        assert runs(wx, r) == runs(wp, r), r
+        assert int(wx["p_start"][r]) == int(wp["p_start"][r])
+        assert int(wx["t_start"][r]) == int(wp["t_start"][r])

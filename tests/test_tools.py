@@ -216,3 +216,76 @@ def test_map_reads_resume(tmp_path):
 
     strip = lambda p: [l for l in open(p) if not l.startswith("@")]
     assert strip(part) == strip(full)
+
+
+def test_scoring_flags_and_local_mode(workdir):
+    """--mp/--np/--rdg/--rfg/--score-min/--local --ma reach the DP
+    engine (bowtie2 params.cpp parity, SURVEY.md §5.7)."""
+    d, sim = workdir
+    # a stricter scheme: high mismatch penalties + constant score-min
+    # close to 0 rejects reads with errors that default params accept
+    rc = map_reads.main([
+        "-x", str(d / "idx.npz"), "-U", str(d / "reads.fq"),
+        "-S", str(d / "strict.sam"), "--batch", "48", "--cpu",
+        "--max-read-len", "128",
+        "--mp", "40,40", "--rdg", "40,40", "--rfg", "40,40",
+        "--score-min", "C,0,0",
+        "--stats", str(d / "strict.json"),
+    ])
+    assert rc == 0
+    strict = json.load(open(d / "strict.json"))
+    base = json.load(open(d / "stats.json"))
+    # perfect reads still align; any read with a mismatch now fails
+    assert 0 < strict["aligned"] < base["aligned"]
+
+    # local mode with its bowtie2-style defaults (--ma 2, G,20,8)
+    rc = map_reads.main([
+        "-x", str(d / "idx.npz"), "-U", str(d / "reads.fq"),
+        "-S", str(d / "local.sam"), "--batch", "48", "--cpu",
+        "--max-read-len", "128", "--local",
+        "--stats", str(d / "local.json"),
+    ])
+    assert rc == 0
+    assert json.load(open(d / "local.json"))["aligned"] >= 44
+
+
+def test_quality_encodings(tmp_path):
+    """--phred64 / --solexa-quals decode to the same Phred values the
+    default path reads from a Phred+33 file (sequence.h parity)."""
+    from nvbio_tpu.io.fastq import read_fastq, _qual_decoder
+
+    g = random_genome(2_000, seed=5)
+    q = np.arange(2, 40, dtype=np.uint8)
+    seq = g[100:100 + q.size].astype(np.uint8)
+    with open(tmp_path / "p33.fq", "w") as f:
+        f.write("@r0\n" + "".join("ACGT"[x] for x in seq) + "\n+\n"
+                + "".join(chr(x + 33) for x in q) + "\n")
+    with open(tmp_path / "p64.fq", "w") as f:
+        f.write("@r0\n" + "".join("ACGT"[x] for x in seq) + "\n+\n"
+                + "".join(chr(x + 64) for x in q) + "\n")
+    _, _, q33 = read_fastq(tmp_path / "p33.fq")
+    _, _, q64 = read_fastq(tmp_path / "p64.fq", qual_enc="phred64")
+    np.testing.assert_array_equal(q33[0], q)
+    np.testing.assert_array_equal(q64[0], q)
+    # solexa: byte-64 is a Solexa score; check the published fixpoints
+    dec = _qual_decoder("solexa64")
+    b = np.array([59, 64, 74, 104], np.uint8)  # solexa -5, 0, 10, 40
+    np.testing.assert_array_equal(dec(b), [1, 3, 10, 40])
+
+
+def test_score_min_functions():
+    """_score_min implements the C/L/S/G SimpleFunc family."""
+    import jax.numpy as jnp
+    from nvbio_tpu.models import MapperParams
+    from nvbio_tpu.models.mapper import _score_min, score_min_host
+
+    lens = jnp.asarray([36, 100, 250], jnp.int32)
+    for fn, a, b in [("C", -30, 0), ("L", -0.6, -0.6),
+                     ("S", 1, 1.15), ("G", 20, 8)]:
+        p = MapperParams(score_min_fn=fn, score_min_a=a, score_min_b=b)
+        dev = np.asarray(_score_min(lens, p))
+        host = [score_min_host(int(x), p) for x in (36, 100, 250)]
+        np.testing.assert_array_equal(dev, host)
+    import math
+    p = MapperParams(score_min_fn="G", score_min_a=20, score_min_b=8)
+    assert score_min_host(100, p) == math.ceil(20 + 8 * math.log(100))
