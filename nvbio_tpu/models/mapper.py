@@ -156,7 +156,8 @@ def extend_candidates(
     pats = jnp.repeat(all_reads, C, axis=0)
     pquals = jnp.repeat(all_quals, C, axis=0)
     plens = jnp.repeat(lens2, C)
-    if use_pallas and gwords is not None:
+    from ..ops.banded_dp import LONG_THRESHOLD
+    if use_pallas and gwords is not None and L <= LONG_THRESHOLD:
         # packed-word windows: ~LT/16 gathered elements per candidate
         # instead of LT (the symbol-window gather dominated this stage)
         res = banded_score_pallas_packed(
@@ -637,17 +638,18 @@ def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None,
         bit3.transpose(1, 0, 2))
     G = Gs.transpose(1, 0, 2)
 
-    # one packed int32 descriptor per cell:
-    # op(2) | term(1) | next_i(10) | next_k(7) | len(10)
-    i_cell = ridx + 1
-    m_ni, m_nk, m_len = NZ + 1, cidx, ridx - NZ
-    e_ni, e_nk, e_len = i_cell, EE - 1, cidx - EE + 1
-    f_ni, f_nk, f_len = ridx - G, cidx + G + 1, G + 1
+    # ONE packed int32 descriptor per cell: op(2) | term(1) | len(29).
+    # The landing cell is arithmetic in (op, len) — M: (i-len, k),
+    # D/E: (i, k-len), I/F: (i-len, k+len) — so the walk needs no
+    # stored next-coords, the precompute materializes one output
+    # array, and run lengths are unclipped (long-read CIGARs carry
+    # multi-thousand M runs).
+    m_len = ridx - NZ
+    e_len = cidx - EE + 1
+    f_len = G + 1
     is_m = f2 == 0
     is_e = f2 == 1
     is_f = f2 == 2
-    ni = jnp.where(is_m, m_ni, jnp.where(is_e, e_ni, f_ni))
-    nk = jnp.where(is_m, m_nk, jnp.where(is_e, e_nk, f_nk))
     ln = jnp.where(is_m, m_len, jnp.where(is_e, e_len, f_len))
     op = jnp.where(is_m, 1, jnp.where(is_e, 2, jnp.where(is_f, 3, 0)))
     # terminal: origin flag, or a garbage lane whose run never closes
@@ -655,13 +657,10 @@ def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None,
     # genuine traces terminate via origin/i==0 inside the band; garbage
     # lanes (results discarded) must still STOP so the all-done early
     # exit is never pinned by a straggler
-    term = ((f2 == 3) | (is_e & (EE < 0)) | (is_f & (G >= BIG))
-            | (nk < 0) | (nk >= STRIDE))
-    ni = jnp.clip(ni, 0, ROWS)
-    nk = jnp.clip(nk, 0, STRIDE - 1)
-    ln = jnp.clip(ln, 0, 1023)
-    desc = (op | (term.astype(jnp.int32) << 2) | (ni << 3) | (nk << 13)
-            | (ln << 20))
+    term = ((f2 == 3) | (is_e & (EE <= 0)) | (is_f & (G >= BIG))
+            | (is_f & (cidx + G + 1 >= STRIDE)))
+    ln = jnp.clip(ln, 0, (1 << 29) - 1)
+    desc = op | (term.astype(jnp.int32) << 2) | (ln << 3)
     desc_flat = desc.reshape(R, LPS)
 
     MAXR = 2 * ROWS + STRIDE + 4  # run-count bound (each round emits
@@ -681,15 +680,19 @@ def _runjump_walk(dirs_flat, STRIDE: int, i0, k0, active=None,
         d = jnp.take_along_axis(desc_flat, idx[:, None], axis=1)[:, 0]
         act = ~done & (((d >> 2) & 1) == 0)
         done = done | (((d >> 2) & 1) == 1)
+        op = d & 3
+        ln = d >> 3
         rops = jax.lax.dynamic_update_slice(
-            rops, jnp.where(act, d & 3, 0).astype(jnp.uint8)[None],
+            rops, jnp.where(act, op, 0).astype(jnp.uint8)[None],
             (t, 0))
         rlens = jax.lax.dynamic_update_slice(
-            rlens,
-            jnp.where(act, (d >> 20) & 1023, 0).astype(jnp.int32)[None],
+            rlens, jnp.where(act, ln, 0).astype(jnp.int32)[None],
             (t, 0))
-        i = jnp.where(act, (d >> 3) & 1023, i)
-        k = jnp.where(act, (d >> 13) & 127, k)
+        # landing cell from (op, len): M down the column, D left along
+        # the row, I down-right along the anti-diagonal
+        i = jnp.where(act & (op != 2), i - ln, i)
+        k = jnp.where(act, k + jnp.where(op == 3, ln,
+                                         jnp.where(op == 2, -ln, 0)), k)
         return (i, k, done, t + 1, rops, rlens)
 
     done0 = (jnp.zeros((R,), bool) if active is None

@@ -43,6 +43,9 @@ PAD_SYMBOL = 7
 # sketch).
 SENT_S = 1 << 20
 SCORE_FLOOR = -(1 << 19)
+#: patterns longer than this route to the row-blocked long-read kernel
+#: (ops/long_dp.py); the resident-pattern kernel's VMEM reach
+LONG_THRESHOLD = 512
 
 
 def _band_pad(BAND: int) -> int:
@@ -72,11 +75,14 @@ def _auto_tile(BAND_PAD: int, Lp8: int, tile: int,
     return tile
 
 
-def _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND):
+def _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND,
+                    long_ok: bool = False):
     """Shared wrapper prologue: sentinel-body guards + the pm/mis hot-
     loop input tiles (pattern N/pad rows -> 9; quality-aware mismatch
     penalty with pattern-N folded in).  One definition keeps the
-    score, packed and directions paths' scheme semantics in lockstep."""
+    score, packed and directions paths' scheme semantics in lockstep.
+    ``long_ok``: the caller (ops/long_dp.py) clamps dead cells per row,
+    so the int32 sentinel-drift bound does not apply."""
     _eo, _ee, _fo, _fe = gap_penalties(scheme)
     worst = max(_eo, _fo) + (Lp8 + BAND) * max(
         _ee, _fe, scheme.mismatch_max, scheme.n_penalty,
@@ -84,7 +90,8 @@ def _hot_precompute(pats_t, quals_t, scheme, Lp8, BAND):
     assert worst < -SCORE_FLOOR, (
         f"scores may cross the sentinel floor (worst={worst}); "
         "shorten the pattern or band")
-    assert Lp8 * (SENT_S + 64) < (1 << 30), "Lp too long for sentinel body"
+    assert long_ok or Lp8 * (SENT_S + 64) < (1 << 30), \
+        "Lp too long for sentinel body"
     pm_t = jnp.where(pats_t >= 4, 9, pats_t)
     mmq = scheme.mismatch_min + (
         (scheme.mismatch_max - scheme.mismatch_min)
@@ -620,8 +627,16 @@ def banded_directions_pallas(
     (uint8, walk-compatible semantics — see the kernel's dirs block).
 
     Returns (res dict, dirs (NB, Lp8 * BAND_PAD) uint8, BAND_PAD):
-    the walk indexes flags at (i-1) * BAND_PAD + k."""
+    the walk indexes flags at (i-1) * BAND_PAD + k.  Patterns beyond
+    LONG_THRESHOLD rows dispatch to the row-blocked long-read kernel
+    (ops/long_dp.py) transparently."""
     NB, Lp = patterns.shape
+    if Lp > LONG_THRESHOLD:
+        from .long_dp import banded_directions_long_pallas
+
+        return banded_directions_long_pallas(
+            patterns, plens, texts, tlens, quals, scheme=scheme,
+            atype=atype, band_w=band_w, interpret=interpret)
     Lt = texts.shape[1]
     BAND = 2 * band_w + 1
     # u8 stores need 32-aligned sublane offsets
@@ -730,9 +745,17 @@ def banded_score_pallas(
     """Drop-in Pallas twin of ``alignment.banded_score_batch``.
 
     NB is padded to a multiple of `tile` internally; returns dict with
-    ``score``, ``p_end``, ``t_end`` of shape (NB,).
+    ``score``, ``p_end``, ``t_end`` of shape (NB,).  Patterns beyond
+    LONG_THRESHOLD rows dispatch to the row-blocked long-read kernel
+    (ops/long_dp.py) transparently.
     """
     NB, Lp = patterns.shape
+    if Lp > LONG_THRESHOLD:
+        from .long_dp import banded_score_long_pallas
+
+        return banded_score_long_pallas(
+            patterns, plens, texts, tlens, quals, scheme=scheme,
+            atype=atype, band_w=band_w, interpret=interpret)
     Lt = texts.shape[1]
     BAND = 2 * band_w + 1
     BAND_PAD = _band_pad(BAND)

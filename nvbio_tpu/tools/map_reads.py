@@ -30,7 +30,13 @@ def main(argv=None):
                    "length (one static shape per run)")
     p.add_argument("-N", dest="seed_mm", type=int, default=0, choices=[0, 1],
                    help="mismatches allowed in seed (bowtie2 -N)")
-    p.add_argument("--max-read-len", type=int, default=320)
+    p.add_argument("--max-read-len", type=int, default=320,
+                   help="pad/bucket reads to this many bp; raise for "
+                   "long reads (the DP engine row-blocks patterns "
+                   "beyond 512 bp automatically)")
+    p.add_argument("--band", type=int, default=None,
+                   help="extension band half-width (default 15; long "
+                   "reads want more indel drift room, e.g. 63)")
     p.add_argument("--minins", type=int, default=0)
     p.add_argument("--maxins", type=int, default=500)
     p.add_argument("--local", action="store_true")
@@ -183,6 +189,7 @@ def main(argv=None):
         seed_interval=seed_interval,
         seed_mismatches=args.seed_mm,
         local=args.local,
+        **({"band_w": args.band} if args.band is not None else {}),
         scheme=scheme,
         score_min_fn=sm_fn,
         score_min_a=sm_a,
