@@ -147,6 +147,10 @@ def extend_candidates(
         ],
         axis=1,
     )
+    # budget signal: more unique diagonals than the C-slot candidate
+    # list holds (kept-first-by-position, so a better-scoring one may
+    # have been cut — escalation re-runs such reads, see map_batch)
+    n_uniq = (first & (cand < SENT)).sum(axis=1)
     cand = jnp.sort(jnp.where(first, cand, SENT), axis=1)[:, :C]  # (2R, C)
     cand_ok = cand < SENT
 
@@ -182,6 +186,7 @@ def extend_candidates(
         "win_start": to_r2c(win_start),
         "t_end": to_r2c(res["t_end"].reshape(R2, C)),
         "p_end": to_r2c(res["p_end"].reshape(R2, C)),
+        "cand_overflow": (n_uniq > C).reshape(2, R).any(axis=0),
     }
 
 
@@ -275,6 +280,10 @@ def candidate_stage(
     hi = hi.reshape(2 * R, S)
     sizes = jnp.where(sval, hi - lo, 0)
     use = jnp.where(sizes > params.max_range, 0, jnp.minimum(sizes, CAP))
+    # per-read budget-overflow evidence (ref: nvBowtie max_effort
+    # rounds): seeds skipped as too-repetitive now, locate drops and
+    # candidate truncation folded in below
+    ovf = (sval & (sizes > params.max_range)).any(axis=1)  # (2R,)
 
     # --- select (rarity-priority) + locate ---
     # The SSA walk in locate() is the gather-bound hot spot (SURVEY.md
@@ -304,6 +313,9 @@ def candidate_stage(
         fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
         k_sample=params.sa_sample, capacity=capacity, fm2=fm2, bi=bi,
     )
+    ovf = ovf | (ok_sel & ~ok_loc).any(axis=1)
+    # more real hit slots than the per-read locate budget keeps
+    ovf = ovf | (use.sum(axis=1) > KLOC)
     SENT = n + 2 * L + 1
     cand = jnp.where(ok_loc, pos - offs_sel, SENT)
     cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
@@ -335,6 +347,8 @@ def candidate_stage(
             fm2=fm2, bi=bi,
         )
         n_drop = n_drop + n_drop_v
+        ovf = ovf | (ok_v.reshape(2 * R, KV)
+                     & ~ok_v2.reshape(2 * R, KV)).any(axis=1)
         pos_v = pos_v.reshape(rows_v.shape)
         ok_v = ok_v2.reshape(rows_v.shape)
         cand_v = jnp.where(ok_v, pos_v - offsets[None, :, None, None],
@@ -351,6 +365,8 @@ def candidate_stage(
     # be observable — repetitive batches can exhaust the cross-read
     # budget silently otherwise); surfaced via MappingStats
     out["locate_dropped"] = n_drop
+    out["overflow"] = (ovf.reshape(2, R).any(axis=0)
+                       | out.pop("cand_overflow"))
     return out
 
 
@@ -419,6 +435,8 @@ def top2_finish(cands, lens, params: MapperParams):
         "p_end": take(p_end),
         "mapq": mapq,
         "locate_dropped": cands.get("locate_dropped", jnp.int32(0)),
+        "overflow": cands.get(
+            "overflow", jnp.zeros((R,), bool)),
     }
 
 
@@ -770,6 +788,8 @@ class Mapper:
         # cumulative count of locate-budget slots dropped on overflow
         # (params.locate_frac / mm_locate_frac; see locate_compact)
         self.locate_dropped = 0
+        # reads re-mapped by the escalation round (params.max_effort)
+        self.escalated = 0
 
     @staticmethod
     def _len_bucket(seqs, lens, quals):
@@ -841,11 +861,62 @@ class Mapper:
         )
         return (seqs, lens, quals, fwd, res, walk, R)
 
+    #: subclasses with their own seeding pipelines (MEM, q-gram) keep
+    #: round-1 semantics; the escalation round re-seeds with the
+    #: uniform-seed pipeline, which only the flagship mapper wants
+    ESCALATES = True
+
+    def _escalated_params(self):
+        """Round-2 budgets: a superset of round 1's search effort."""
+        from dataclasses import replace
+        p = self.params
+        return replace(
+            p, max_range=p.max_range * 8, locate_frac=1.0,
+            mm_locate_frac=1.0, max_locate=min(p.max_locate * 2, 128),
+            max_candidates=min(p.max_candidates * 2, 64),
+            max_effort=1)
+
     def _collect_chunk(self, handle):
         seqs, lens, quals, fwd, res, walk, R = handle
         if "locate_dropped" in fwd:
             self.locate_dropped += int(fwd["locate_dropped"])
-        return self._finish(seqs, lens, quals, fwd, res, walk)[:R]
+        results = self._finish(seqs, lens, quals, fwd, res, walk)[:R]
+        if self.ESCALATES and self.params.max_effort > 1:
+            results = self._escalate_chunk(seqs, lens, quals, fwd,
+                                           results, R)
+        return results
+
+    def _escalate_chunk(self, seqs, lens, quals, fwd, results, R):
+        """Second effort round (ref: best_approx_inl.h rounds loop):
+        re-map reads whose round-1 budgets overflowed with escalated
+        budgets and adopt the round-2 result — round 2 examines a
+        superset of candidates, so its best/second evidence subsumes
+        round 1's."""
+        overflow = np.asarray(fwd["overflow"])[:R]
+        idx = np.flatnonzero(overflow)
+        if idx.size == 0:
+            return results
+        p2 = self._escalated_params()
+        s2, l2, q2 = (seqs[:R][idx], lens[:R][idx],
+                      np.asarray(quals[:R])[idx])
+        s2p, l2p, q2p = self._pad_chunk(s2, l2, q2)
+        jr = jnp.asarray(s2p)
+        jl = jnp.asarray(l2p.astype(np.int32))
+        jq = jnp.asarray(q2p.astype(np.uint8))
+        fwd2 = map_batch(
+            self.fm, self.ssa, self.genome, jr, jl, jq, params=p2,
+            use_pallas=self.use_pallas, lut=self.lut,
+            gwords=self.gwords, fm2=self.fm2, bi=self.bi)
+        res2, walk2 = traceback_walk_batch(
+            self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
+            fwd2["win_start"], fwd2["strand"], params=p2,
+            use_pallas=self.use_pallas, active=fwd2["aligned"])
+        fin2 = self._finish(s2p, l2p, q2p, fwd2, res2, walk2)[:idx.size]
+        for j, r2 in zip(idx, fin2):
+            if r2.aligned or not results[j].aligned:
+                results[j] = r2
+        self.escalated += int(idx.size)
+        return results
 
     def _map_chunk(self, seqs, lens, quals):
         return self._collect_chunk(self._dispatch_chunk(seqs, lens, quals))

@@ -92,6 +92,7 @@ def mem_map_batch(
 
 
 class MemMapper(Mapper):
+    ESCALATES = False  # escalation re-seeds uniformly
     """Host orchestration for the MEM pipeline — same SAM emit path as
     the flagship mapper, MEM seeding in the forward step."""
 

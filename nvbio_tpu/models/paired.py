@@ -235,12 +235,18 @@ def pe_map_batch(
     R = r1.shape[0]
     C = params.max_candidates
     n = fm.n
-    c1 = candidate_stage(fm, ssa, genome, r1, l1, q1, params=params,
-                         use_pallas=use_pallas, lut=lut, gwords=gwords,
-                         fm2=fm2, bi=bi)
-    c2 = candidate_stage(fm, ssa, genome, r2, l2, q2, params=params,
-                         use_pallas=use_pallas, lut=lut, gwords=gwords,
-                         fm2=fm2, bi=bi)
+    # one candidate stage over both mates (2R reads): halves the
+    # fixed per-call costs and doubles every gather/sort batch
+    cc = candidate_stage(
+        fm, ssa, genome,
+        jnp.concatenate([r1, r2]), jnp.concatenate([l1, l2]),
+        jnp.concatenate([q1, q2]), params=params,
+        use_pallas=use_pallas, lut=lut, gwords=gwords, fm2=fm2, bi=bi)
+    split = lambda v: (v[:R], v[R:]) if getattr(v, "ndim", 0) else (v, v)
+    c1 = {k: split(v)[0] for k, v in cc.items()}
+    c2 = {k: split(v)[1] for k, v in cc.items()}
+    c1["locate_dropped"] = cc.get("locate_dropped", jnp.int32(0))
+    c2["locate_dropped"] = jnp.int32(0)
     smin1 = _score_min(l1, params)
     smin2 = _score_min(l2, params)
 
@@ -296,11 +302,39 @@ def pe_map_batch(
         an1, an2 = se1, se2
 
     # --- mate rescue (anchor = the better-aligned single mate) ---
+    # Compacted: only pairs with no concordant candidate pair but at
+    # least one aligned mate need the window search (a few % of real
+    # batches), so both rescue directions run on a capacity bucket of
+    # R/4 lanes instead of the full batch (the same fixed-capacity
+    # compaction pattern as locate_compact).  Overflow pairs skip
+    # rescue and are reported in pair info (rescue_dropped).
     if params.enable_rescue:
-        res2 = _rescue(genome, n, an1["win_start"], an1["strand"], l1,
-                       r2, l2, q2, params, use_pallas)
-        res1 = _rescue(genome, n, an2["win_start"], an2["strand"], l2,
-                       r1, l1, q1, params, use_pallas)
+        needs = (~has_conc) & (an1["aligned"] | an2["aligned"])
+        capR = max(min(R // 4, 4096), 64)
+        cpos = jnp.cumsum(needs.astype(jnp.int32)) - 1
+        slot_ok = needs & (cpos < capR)
+        rescue_dropped = needs.sum() - slot_ok.sum()
+        lane_idx = jnp.full((capR,), R, jnp.int32).at[
+            jnp.where(slot_ok, cpos, capR)
+        ].set(jnp.arange(R, dtype=jnp.int32), mode="drop")
+        gi = jnp.minimum(lane_idx, R - 1)  # garbage rows for empty slots
+        g = lambda a: a[gi]
+
+        r2c = _rescue(genome, n, g(an1["win_start"]), g(an1["strand"]),
+                      g(l1), g(r2), g(l2), g(q2), params, use_pallas)
+        r1c = _rescue(genome, n, g(an2["win_start"]), g(an2["strand"]),
+                      g(l2), g(r1), g(l1), g(q1), params, use_pallas)
+
+        def scat(vals, fill):
+            out = jnp.full((R + 1,), fill, vals.dtype)
+            return out.at[lane_idx].set(vals, mode="drop")[:R]
+
+        res2 = {"score": scat(r2c["score"], jnp.int32(NEG_INF)),
+                "win_start": scat(r2c["win_start"], jnp.int32(0)),
+                "strand": scat(r2c["strand"], jnp.int32(0))}
+        res1 = {"score": scat(r1c["score"], jnp.int32(NEG_INF)),
+                "win_start": scat(r1c["win_start"], jnp.int32(0)),
+                "strand": scat(r1c["strand"], jnp.int32(0))}
         resc2_ok = an1["aligned"] & (res2["score"] >= smin2)
         resc1_ok = an2["aligned"] & (res1["score"] >= smin1)
         # prefer the rescue with the higher pair score
@@ -323,6 +357,7 @@ def pe_map_batch(
         has_rescue = jnp.zeros(R, bool)
         use_a = jnp.ones(R, bool)
         rescue_pair = jnp.full(R, NEG_INF, jnp.int32)
+        rescue_dropped = jnp.int32(0)
         res1 = res2 = None
 
     proper = has_conc | ((~has_conc) & has_rescue)
@@ -416,7 +451,8 @@ def pe_map_batch(
          "pair_score": pair_best_eff,
          "pair_second": pair_second_eff,
          "locate_dropped": (c1.get("locate_dropped", jnp.int32(0))
-                            + c2.get("locate_dropped", jnp.int32(0)))},
+                            + c2.get("locate_dropped", jnp.int32(0))),
+         "rescue_dropped": rescue_dropped},
     )
 
 

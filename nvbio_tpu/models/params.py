@@ -64,6 +64,12 @@ class MapperParams:
     minins: int = 0
     maxins: int = 500
     enable_rescue: bool = True  # opposite-mate window search
+    # effort rounds (ref: nvBowtie select/score rounds loop,
+    # ``max_effort``): reads whose round-1 budgets overflowed
+    # (repetitive seeds skipped, locate slots dropped, candidate list
+    # truncated) re-run once with escalated budgets (max_range x8,
+    # locate fracs 1.0, 2x locate/candidate caps).  1 = single round.
+    max_effort: int = 2
     # batching
     batch_size: int = 1024
     max_read_len: int = 512  # genome pad reserve for window gathers

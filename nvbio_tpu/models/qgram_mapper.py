@@ -82,6 +82,7 @@ def qgram_map_batch(
 
 
 class QGramMapper(Mapper):
+    ESCALATES = False  # escalation re-seeds uniformly
     """Host orchestration: builds the genome q-gram index once, then
     maps with q-gram seeding; SAM emit shared with the flagship."""
 
