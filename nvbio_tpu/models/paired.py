@@ -62,7 +62,9 @@ def _se_reduce(c, lens, params, span=None):
         sc = jnp.where((ws >= lo) & (ws < hi), sc, NEG_INF)
     bi = jnp.argmax(sc, axis=1)
     best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
-    second = jnp.max(sc.at[jnp.arange(R), bi].set(NEG_INF), axis=1)
+    cols_m = jnp.arange(sc.shape[1], dtype=jnp.int32)
+    second = jnp.max(  # mask-by-compare: TPU row scatters serialize
+        jnp.where(cols_m[None, :] == bi[:, None], NEG_INF, sc), axis=1)
     smin = _score_min(lens, params)
     take = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
     return {
@@ -281,7 +283,9 @@ def pe_map_batch(
     pbi = jnp.argmax(pair_sc, axis=1)
     pair_best = jnp.take_along_axis(pair_sc, pbi[:, None], axis=1)[:, 0]
     pair_second = jnp.max(
-        pair_sc.at[jnp.arange(R), pbi].set(NEG_INF), axis=1
+        jnp.where(jnp.arange(pair_sc.shape[1],
+                             dtype=jnp.int32)[None, :] == pbi[:, None],
+                  NEG_INF, pair_sc), axis=1
     )
     has_conc = pair_best > NEG_INF // 2
     i1 = pbi // (2 * C)
@@ -403,7 +407,10 @@ def pe_map_batch(
         # rescued mate's alignment is not in the candidate list, so
         # nothing is excluded for it
         idx = jnp.where(has_conc, i, se["bi"])
-        sc_excl = se["sc"].at[jnp.arange(R), idx].set(NEG_INF)
+        sc_excl = jnp.where(
+            jnp.arange(se["sc"].shape[1],
+                       dtype=jnp.int32)[None, :] == idx[:, None],
+            NEG_INF, se["sc"])
         second = jnp.where(resc_here, jnp.max(se["sc"], axis=1),
                            jnp.max(sc_excl, axis=1))
         return aligned, strand, ws, score, second, resc_here

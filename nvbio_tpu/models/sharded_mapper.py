@@ -146,7 +146,9 @@ def _top2_concat(sc, ws, te, pe, lens, params: MapperParams):
     C = params.max_candidates
     bi = jnp.argmax(sc, axis=1)
     best = jnp.take_along_axis(sc, bi[:, None], axis=1)[:, 0]
-    second = jnp.max(sc.at[jnp.arange(R), bi].set(NEG_INF), axis=1)
+    cols_m = jnp.arange(sc.shape[1], dtype=jnp.int32)
+    second = jnp.max(  # mask-by-compare: TPU row scatters serialize
+        jnp.where(cols_m[None, :] == bi[:, None], NEG_INF, sc), axis=1)
     has_second = second > NEG_INF // 2
     smin = _score_min(lens, params)
     smax = _score_perfect(lens, params)

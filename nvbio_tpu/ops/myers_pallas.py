@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: Myers bit-vector edit distance.
+
+Ref parity: nvbio/alignment/myers_inl.h (``make_myers_aligner``) — the
+reference's bit-parallel scoring-only edit-distance engine.  The XLA
+twin (alignment/myers.py) is oracle-exact but dispatch-bound: its
+lax.scan advances one text column per step over small (N, W) arrays.
+This kernel keeps the whole scan inside one Pallas program:
+
+- batch across the 128 VPU lanes (one alignment per lane, tile TB);
+- the W bit-vector words across sublanes (W_PAD = 8 -> patterns to
+  256 bp; the word axis IS the sublane axis, so the carry-propagating
+  add inside Myers' recurrence becomes a 3-step Kogge-Stone
+  carry-lookahead of sublane shifts);
+- text staged (Lt, TB) in VMEM; each step is ~45 full-width VPU ops.
+
+Unsigned compares are emulated with the sign-flip trick (x ^ 0x8000
+0000 signed-compares like uint32) — v5e Mosaic has no native uint32
+vector compare.
+
+Semantics are bit-identical to myers_edit_distance_batch (GLOBAL and
+SEMI_GLOBAL search; symbols >= 4 never match).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..alignment.types import AlignmentType
+
+W_PAD = 8  # bit-vector words on sublanes: patterns up to 256 symbols
+PAD_SYMBOL = 7
+_SIGN = np.int32(-(1 << 31))
+
+
+def _shift_words_up(x, d, fill=0):
+    """word w <- word w - d (little-endian word order on sublanes)."""
+    return jnp.concatenate(
+        [jnp.full((d, x.shape[1]), fill, x.dtype), x[:-d, :]], axis=0)
+
+
+def _ult(a, b):
+    """unsigned a < b on int32 words (sign-flip trick)."""
+    return (a ^ _SIGN) < (b ^ _SIGN)
+
+
+def _make_myers_kernel(Lt: int, atype: AlignmentType, TB: int):
+    is_global = atype == AlignmentType.GLOBAL
+    CH = 8
+
+    def kernel(peq_ref, text_ref, plen_ref, tlen_ref, lmask_ref,
+               emask_ref, out_ref):
+        plen = plen_ref[0:1, :]
+        tlen = tlen_ref[0:1, :]
+        lmask = lmask_ref[...]  # (W_PAD, TB) low plen bits set
+        emask = emask_ref[...]  # (W_PAD, TB) single bit at plen-1
+        vp0 = lmask
+        vn0 = jnp.zeros((W_PAD, TB), jnp.int32)
+        dist0 = plen.astype(jnp.int32)
+        best0 = jnp.where(plen > 0, jnp.int32(1 << 30), 0)
+        bestj0 = jnp.zeros((1, TB), jnp.int32)
+        peq = peq_ref[...]  # (4 * W_PAD, TB)
+        peq0 = peq[0 * W_PAD:1 * W_PAD, :]
+        peq1 = peq[1 * W_PAD:2 * W_PAD, :]
+        peq2 = peq[2 * W_PAD:3 * W_PAD, :]
+        peq3 = peq[3 * W_PAD:4 * W_PAD, :]
+
+        def body(carry, j, trow):
+            vp, vn, dist, best, bestj = carry
+            t = jnp.broadcast_to(trow, (W_PAD, TB))
+            eq = jnp.where(
+                t == 0, peq0,
+                jnp.where(t == 1, peq1,
+                          jnp.where(t == 2, peq2,
+                                    jnp.where(t == 3, peq3, 0))))
+            xv = eq | vn
+            # (eq & vp) + vp with carry across words: Kogge-Stone
+            # carry-lookahead over (generate, propagate) on sublanes
+            a = eq & vp
+            s0 = a + vp
+            g = _ult(s0, a).astype(jnp.int32)
+            p = (s0 == -1).astype(jnp.int32)
+            G, P = g, p
+            d = 1
+            while d < W_PAD:
+                G = G | (P & _shift_words_up(G, d))
+                P = P & _shift_words_up(P, d)
+                d *= 2
+            cin = _shift_words_up(G, 1)
+            xh = ((s0 + cin) ^ vp) | eq
+            ph = vn | ~(xh | vp)
+            mh = vp & xh
+            ebit = jnp.sum(
+                ((ph & emask) != 0).astype(jnp.int32), axis=0,
+                keepdims=True)
+            mbit = jnp.sum(
+                ((mh & emask) != 0).astype(jnp.int32), axis=0,
+                keepdims=True)
+            ndist = dist + ebit - mbit
+            # shift left by one bit across words
+            ph_hi = _shift_words_up(
+                jax.lax.shift_right_logical(ph, 31), 1,
+                fill=1 if is_global else 0)
+            mh_hi = _shift_words_up(
+                jax.lax.shift_right_logical(mh, 31), 1)
+            ph = ((ph << 1) | ph_hi) & lmask
+            mh = ((mh << 1) | mh_hi) & lmask
+            nvp = (mh | ~(xv | ph)) & lmask
+            nvn = (ph & xv) & lmask
+            active = j < tlen
+            activeW = jnp.broadcast_to(active, (W_PAD, TB))
+            vp = jnp.where(activeW, nvp, vp)
+            vn = jnp.where(activeW, nvn, vn)
+            dist = jnp.where(active, ndist, dist)
+            upd = active & (dist < best)
+            best = jnp.where(upd, dist, best)
+            bestj = jnp.where(upd, j + 1, bestj)
+            return vp, vn, dist, best, bestj
+
+        def chunk(c, carry):
+            base = pl.multiple_of(c * CH, CH)
+            tchunk = text_ref[pl.ds(base, CH), :]
+            for r in range(CH):
+                carry = body(carry, c * CH + r, tchunk[r:r + 1, :])
+            return carry
+
+        vp, vn, dist, best, bestj = jax.lax.fori_loop(
+            0, (Lt + CH - 1) // CH, chunk,
+            (vp0, vn0, dist0, best0, bestj0))
+        if is_global:
+            out_ref[0:1, :] = dist
+            out_ref[1:2, :] = tlen
+        else:
+            best = jnp.minimum(best, dist0)  # empty-text alignment
+            out_ref[0:1, :] = best
+            out_ref[1:2, :] = bestj
+        out_ref[2:8, :] = jnp.zeros((6, TB), jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("atype", "interpret", "tile"))
+def myers_pallas(patterns, plens, texts, tlens, *,
+                 atype: AlignmentType = AlignmentType.SEMI_GLOBAL,
+                 interpret: bool = False, tile: int = 512):
+    """Pallas twin of myers_edit_distance_batch.
+
+    Returns (distance, t_end) — bit-identical to the XLA twin.
+    Patterns up to 256 symbols (W_PAD * 32)."""
+    if atype == AlignmentType.LOCAL:
+        raise ValueError("Myers aligner is GLOBAL/SEMI_GLOBAL only")
+    NB, Lp = patterns.shape
+    Lt = texts.shape[1]
+    if Lp > W_PAD * 32:
+        raise ValueError(f"myers_pallas supports patterns to "
+                         f"{W_PAD * 32} bp (got {Lp})")
+    nb_pad = (NB + tile - 1) // tile * tile
+    Lt8 = (Lt + 7) // 8 * 8
+
+    def prep(x, fill, cols=None):
+        x = x.astype(jnp.int32)
+        pad_cols = (0, 0) if cols is None else (0, cols - x.shape[1])
+        return jnp.pad(x, ((0, nb_pad - NB), pad_cols),
+                       constant_values=fill)
+
+    pats = prep(patterns, PAD_SYMBOL)
+    plens_p = prep(plens[:, None], 0).T
+    tlens_p = prep(tlens[:, None], 0).T
+    texts_t = prep(texts, PAD_SYMBOL, Lt8).T  # (Lt8, nb_pad)
+
+    # Peq words, lens mask, end mask — (W, nb_pad) via XLA ops
+    bitpos = jnp.arange(Lp, dtype=jnp.int32)
+    in_len = bitpos[None, :] < plens_p.T  # (nb_pad, Lp)
+    warange = jnp.arange(W_PAD, dtype=jnp.int32)
+
+    def wordify(hit):
+        """(nb_pad, Lp) bool -> (W_PAD, nb_pad) int32 bitmask words."""
+        bits = jnp.where(hit, jnp.int32(1) << (bitpos % 32), 0)
+        seg = (bitpos // 32)[None, :] == warange[:, None, None]
+        # (W_PAD, nb_pad, Lp) OR-reduce: sum works (disjoint bits)
+        return jnp.sum(jnp.where(seg, bits[None, :, :], 0), axis=2)
+
+    peq = jnp.concatenate(
+        [wordify((pats == c) & in_len) for c in range(4)], axis=0)
+
+    pl_col = plens_p.T  # (nb_pad, 1)
+    m1 = jnp.maximum(pl_col - 1, 0)
+    lmask = jnp.where(
+        warange[:, None] < pl_col.T // 32,
+        jnp.int32(-1),
+        jnp.where(
+            warange[:, None] == pl_col.T // 32,
+            (jnp.int32(1) << (pl_col.T % 32)) - 1,
+            0))
+    emask = jnp.where(
+        warange[:, None] == m1.T // 32,
+        jnp.int32(1) << (m1.T % 32), 0)
+    emask = jnp.where(pl_col.T > 0, emask, 0)
+
+    kernel = _make_myers_kernel(Lt8, atype, tile)
+    grid = (nb_pad // tile,)
+    spec = lambda rows: pl.BlockSpec(
+        (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nb_pad), jnp.int32),
+        grid=grid,
+        in_specs=[spec(4 * W_PAD), spec(Lt8), spec(1), spec(1),
+                  spec(W_PAD), spec(W_PAD)],
+        out_specs=spec(8),
+        interpret=interpret,
+    )(peq, texts_t, plens_p, tlens_p, lmask, emask)
+    return out[0][:NB], out[1][:NB]

@@ -82,13 +82,17 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray):
     """
     text = np.asarray(text, dtype=np.uint8)
     n = len(text)
-    sa_full = np.empty(n + 1, dtype=np.int64)
-    sa_full[0] = n
-    sa_full[1:] = sa
-    bwt = np.zeros(n + 1, dtype=np.uint8)
-    prev = sa_full - 1
-    nz = prev >= 0
-    bwt[nz] = text[prev[nz]]
-    primary = int(np.nonzero(~nz)[0][0])
+    assert n < (1 << 32) - 1, "per-shard texts are < 4 Gbp"
+    primary = int(np.flatnonzero(sa == 0)[0]) + 1
+    bwt = np.empty(n + 1, dtype=np.uint8)
+    bwt[0] = text[n - 1]  # row 0 is the '$' suffix
+    # chunked uint32 gather (half the index traffic of int64; the
+    # boolean-mask formulation cost 3 extra full passes)
+    CH = 1 << 24
+    for s0 in range(1, n + 1, CH):
+        sl = sa[s0 - 1 : s0 - 1 + CH].astype(np.uint32)
+        np.subtract(sl, 1, out=sl)  # sa == 0 wraps; overwritten below
+        np.minimum(sl, n - 1, out=sl)
+        bwt[s0 : s0 + CH] = text[sl]
     bwt[primary] = 0  # dummy 'A' in the sentinel slot
     return bwt, primary

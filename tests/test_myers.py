@@ -66,3 +66,35 @@ def test_myers_local_rejected():
             np.zeros((1, 4), np.int32), np.array([4], np.int32),
             atype=AlignmentType.LOCAL,
         )
+
+
+def test_myers_pallas_matches_twin_interpret():
+    """Pallas Myers kernel (interpret) is bit-identical to the XLA
+    twin across modes, ragged lengths, N symbols, and 256 bp."""
+    import jax.numpy as jnp
+    from nvbio_tpu.ops.myers_pallas import myers_pallas
+    from nvbio_tpu.alignment.myers import myers_edit_distance_batch
+    from nvbio_tpu.alignment.types import AlignmentType
+
+    rng = np.random.default_rng(5)
+    NB, LP, LT = 48, 100, 140
+    plens = rng.integers(1, LP + 1, NB).astype(np.int32)
+    plens[:3] = (LP, 32, 64)  # word-boundary lengths
+    pats = rng.integers(0, 5, (NB, LP)).astype(np.int32)  # incl. N
+    texts = rng.integers(0, 4, (NB, LT)).astype(np.int32)
+    for b in range(NB):
+        L = plens[b]
+        t = pats[b, :L].copy()
+        for _ in range(5):
+            t[rng.integers(0, L)] = rng.integers(0, 4)
+        texts[b, :min(L, LT)] = t[:LT]
+    tlens = rng.integers(10, LT + 1, NB).astype(np.int32)
+    jp = jnp.asarray
+    for atype in (AlignmentType.SEMI_GLOBAL, AlignmentType.GLOBAL):
+        d0, e0 = myers_edit_distance_batch(
+            jp(pats), jp(plens), jp(texts), jp(tlens), atype=atype)
+        d1, e1 = myers_pallas(
+            jp(pats), jp(plens), jp(texts), jp(tlens), atype=atype,
+            interpret=True, tile=128)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
