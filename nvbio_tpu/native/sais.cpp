@@ -19,8 +19,26 @@
 // traffic), int64 beyond (hg38 fwd+rev concatenation needs it).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
+
+static inline double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+static inline bool sais_verbose() {
+  static int v = -1;
+  if (v < 0) v = getenv("NVBIO_SAIS_VERBOSE") ? 1 : 0;
+  return v;
+}
+#define SAIS_T(label) do { if (sais_verbose() && n > (1 << 24)) { \
+    double t1 = now_s(); \
+    fprintf(stderr, "[sais n=%lld] %-12s %.2fs\n", (long long)n, label, \
+            t1 - _tprev); _tprev = t1; } } while (0)
 
 namespace {
 
@@ -57,21 +75,49 @@ void get_buckets(const std::vector<I>& C, std::vector<I>& B, bool end) {
   }
 }
 
-// Induce L-type then S-type suffixes from the placed LMS/sorted seeds.
+// Induce L-type then S-type suffixes from the placed seeds.
+//
+// Entries carry one bit in their sign: +(j+1) when t(j-1) is L-type,
+// -(j+1) when it is S-type (or j == 0); 0 is empty.  The writer always
+// knows t(j) for the position it places, so the predecessor's type is
+// a pure symbol comparison (equal symbols inherit the writer's type) —
+// the hot loops never touch the type bitvector, whose random lookups
+// miss cache at gigabase scale.  Software prefetch hides the random
+// text reads (the induced position is known PF iterations ahead).
 template <typename I, typename T>
-void induce(const T* s, I* SA, I n, I K, const TypeBits<I>& t,
-            const std::vector<I>& C, std::vector<I>& B) {
-  // left-to-right pass: L-type
+void induce(const T* s, I* SA, I n, I K, const std::vector<I>& C,
+            std::vector<I>& B, bool decode) {
+  const I PF = 16;
+  // left-to-right pass: predecessors of entries flagged pred-L
   get_buckets(C, B, false);
   for (I i = 0; i < n; ++i) {
-    I j = SA[i];
-    if (j > 0 && !t.get(j - 1)) SA[B[size_t(s[j - 1])]++] = j - 1;
+    if (i + PF < n) {
+      I vp = SA[i + PF];
+      if (vp > 1) __builtin_prefetch(s + (vp - 2));
+    }
+    I v = SA[i];
+    if (v > 0) {
+      I nj = v - 2;  // j - 1 where j = v - 1 (flag implies j > 0)
+      T c = s[nj];
+      bool predL = nj > 0 && s[nj - 1] >= c;  // equal inherits L
+      SA[B[size_t(c)]++] = predL ? (nj + 1) : -(nj + 1);
+    }
   }
-  // right-to-left pass: S-type
+  // right-to-left pass: predecessors of entries flagged pred-S
   get_buckets(C, B, true);
   for (I i = n; i-- > 0;) {
-    I j = SA[i];
-    if (j > 0 && t.get(j - 1)) SA[--B[size_t(s[j - 1])]] = j - 1;
+    if (i >= PF) {
+      I vp = SA[i - PF];
+      if (vp < -1) __builtin_prefetch(s + (-vp - 2));
+    }
+    I v = SA[i];
+    if (v < -1) {  // pred is S and j > 0
+      I nj = -v - 2;
+      T c = s[nj];
+      bool predL = nj > 0 && s[nj - 1] > c;  // equal inherits S
+      SA[--B[size_t(c)]] = predL ? (nj + 1) : -(nj + 1);
+    }
+    if (decode && v != 0) SA[i] = (v > 0 ? v : -v) - 1;
   }
 }
 
@@ -79,31 +125,48 @@ void induce(const T* s, I* SA, I n, I K, const TypeBits<I>& t,
 template <typename I, typename T>
 void sais_rec(const T* s, I* SA, I n, I K) {
   if (n == 1) { SA[0] = 0; return; }
+  double _tprev = now_s();
   TypeBits<I> t(n);
   t.set(n - 1, true);
   for (I i = n - 1; i-- > 0;)
     t.set(i, s[i] < s[i + 1] || (s[i] == s[i + 1] && t.get(i + 1)));
 
+  SAIS_T("typebits");
   std::vector<I> C, B;
   get_counts(s, n, K, C);
 
   // ---- stage 1: sort LMS substrings by induction -------------------
-  for (I i = 0; i < n; ++i) SA[i] = -1;
+  // entries are sign-encoded (see induce); an LMS seed's predecessor
+  // is L by definition, so seeds carry the + flag
+  for (I i = 0; i < n; ++i) SA[i] = 0;
   get_buckets(C, B, true);
   for (I i = 1; i < n; ++i)
-    if (is_lms(t, s, i)) SA[--B[size_t(s[i])]] = i;
-  induce(s, SA, n, K, t, C, B);
+    if (is_lms(t, s, i)) SA[--B[size_t(s[i])]] = i + 1;
+  SAIS_T("seed1");
+  induce(s, SA, n, K, C, B, /*decode=*/true);
+  SAIS_T("induce1");
 
   // compact sorted LMS positions to the front
   I n1 = 0;
-  for (I i = 0; i < n; ++i)
+  for (I i = 0; i < n; ++i) {
+    if (i + 16 < n) {
+      I jp = SA[i + 16];
+      __builtin_prefetch(&t.w[size_t(jp) >> 6]);
+    }
     if (is_lms(t, s, SA[i])) SA[n1++] = SA[i];
+  }
 
+  SAIS_T("compact");
   // name LMS substrings in SA[n1..n)
   for (I i = n1; i < n; ++i) SA[i] = -1;
   I name = 0;
   I prev = -1;
   for (I i = 0; i < n1; ++i) {
+    if (i + 4 < n1) {
+      I pp = SA[i + 4];
+      __builtin_prefetch(s + pp);
+      __builtin_prefetch(&t.w[size_t(pp) >> 6]);
+    }
     I pos = SA[i];
     bool diff = false;
     if (prev < 0) {
@@ -124,6 +187,7 @@ void sais_rec(const T* s, I* SA, I n, I K) {
     if (diff) { ++name; prev = pos; }
     SA[n1 + pos / 2] = name - 1;
   }
+  SAIS_T("naming");
   // gather names into the reduced string (text order)
   I k = n - 1;
   for (I i = n; i-- > I(n1);)
@@ -137,6 +201,7 @@ void sais_rec(const T* s, I* SA, I n, I K) {
     for (I i = 0; i < n1; ++i) SA[size_t(s1[i])] = i;
   }
 
+  SAIS_T("recurse");
   // map reduced-problem order back to LMS text positions
   {
     I j = 0;
@@ -144,18 +209,24 @@ void sais_rec(const T* s, I* SA, I n, I K) {
     P.resize(size_t(n1));
     for (I i = 1; i < n; ++i)
       if (is_lms(t, s, i)) P[size_t(j++)] = i;
-    for (I i = 0; i < n1; ++i) SA[i] = P[size_t(SA[i])];
+    for (I i = 0; i < n1; ++i) {
+      if (i + 16 < n1) __builtin_prefetch(&P[size_t(SA[i + 16])]);
+      SA[i] = P[size_t(SA[i])];
+    }
   }
 
+  SAIS_T("pmap");
   // ---- stage 2: place LMS in final order, induce the rest ----------
-  for (I i = n1; i < n; ++i) SA[i] = -1;
+  for (I i = n1; i < n; ++i) SA[i] = 0;
   get_buckets(C, B, true);
   for (I i = n1; i-- > 0;) {
     I j = SA[i];
-    SA[i] = -1;
-    SA[--B[size_t(s[j])]] = j;
+    SA[i] = 0;
+    SA[--B[size_t(s[j])]] = j + 1;  // LMS: predecessor is L
   }
-  induce(s, SA, n, K, t, C, B);
+  SAIS_T("seed2");
+  induce(s, SA, n, K, C, B, /*decode=*/true);
+  SAIS_T("induce2");
 }
 
 template <typename I>
