@@ -21,24 +21,29 @@ def _open(path, mode="rt"):
 
 
 def read_fasta(path) -> list[tuple[str, np.ndarray]]:
-    """Parse a FASTA file -> [(name, symbols uint8 0..4)]."""
+    """Parse a FASTA file -> [(name, symbols uint8 0..4)].
+
+    Whole-buffer vectorized parse: one read, header scan via substring
+    find, newline strip as a NumPy mask — a 3 GB genome parses in
+    seconds where the old per-line Python loop churned minutes of GC
+    and sys time (44M small strings at hg scale)."""
+    from ..basic.alphabet import char_to_dna
+
+    with _open(path, "rb") as f:
+        data = f.read()
     out = []
-    name = None
-    chunks: list[str] = []
-    with _open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith(">"):
-                if name is not None:
-                    out.append((name, encode_dna("".join(chunks))))
-                name = line[1:].split()[0]
-                chunks = []
-            else:
-                chunks.append(line)
-    if name is not None:
-        out.append((name, encode_dna("".join(chunks))))
+    pos = data.find(b">")
+    while pos >= 0:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            break
+        name = data[pos + 1:nl].split()[0].decode()
+        nxt = data.find(b"\n>", nl)
+        end = len(data) if nxt < 0 else nxt + 1
+        arr = np.frombuffer(data[nl + 1:end], dtype=np.uint8)
+        arr = arr[(arr != 10) & (arr != 13)]  # strip \n, \r
+        out.append((name, char_to_dna(arr)))
+        pos = -1 if nxt < 0 else nxt + 1
     return out
 
 

@@ -65,6 +65,7 @@ def sais_lib():
         try:
             L = _build(_SAIS_SRC, _SAIS_SO)
             L.sais_u8.restype = ctypes.c_long
+            L.sais_u8_i32.restype = ctypes.c_long
             L.sais_bwt.restype = ctypes.c_long
             _sais_lib = L
         except Exception:
@@ -82,12 +83,21 @@ def sais_native(text: np.ndarray):
         return None
     t = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(t)
-    sa = np.empty(n, dtype=np.int64)
-    r = L.sais_u8(
-        t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        ctypes.c_long(n),
-        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-    )
+    if n + 1 < (1 << 31):
+        # int32 end-to-end: half the memory traffic, no conversion pass
+        sa = np.empty(n, dtype=np.int32)
+        r = L.sais_u8_i32(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_long(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        sa = np.empty(n, dtype=np.int64)
+        r = L.sais_u8(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_long(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        )
     if r != 0:
         raise RuntimeError("sais_u8 failed")
     return sa

@@ -229,8 +229,8 @@ void sais_rec(const T* s, I* SA, I n, I K) {
   SAIS_T("induce2");
 }
 
-template <typename I>
-long run_sais(const uint8_t* text, long n, long long* sa_out) {
+template <typename I, typename O>
+long run_sais(const uint8_t* text, long n, O* sa_out) {
   // append sentinel; shift symbols +1 so 0 is the unique sentinel
   uint8_t maxsym = 0;
   for (long i = 0; i < n; ++i)
@@ -249,7 +249,7 @@ long run_sais(const uint8_t* text, long n, long long* sa_out) {
     sais_rec<I, I>(s.data(), SA.data(), m, I(maxsym) + 2);
   }
   if (SA[0] != I(n)) return -1;  // sentinel row must sort first
-  for (long i = 0; i < n; ++i) sa_out[i] = (long long)SA[size_t(i) + 1];
+  for (long i = 0; i < n; ++i) sa_out[i] = (O)SA[size_t(i) + 1];
   return 0;
 }
 
@@ -263,6 +263,15 @@ long sais_u8(const uint8_t* text, long n, long long* sa_out) {
   if (n <= 0) return 0;
   if (n + 1 < 0x7fffffffL) return run_sais<int32_t>(text, n, sa_out);
   return run_sais<int64_t>(text, n, sa_out);
+}
+
+// int32 output variant for n + 1 < 2^31: lets the caller keep the SA
+// in 4n bytes end-to-end (an hg-scale shard saves ~9 GB of int64
+// temporaries + a conversion pass).
+long sais_u8_i32(const uint8_t* text, long n, int32_t* sa_out) {
+  if (n <= 0) return 0;
+  if (n + 1 >= 0x7fffffffL) return -2;
+  return run_sais<int32_t>(text, n, sa_out);
 }
 
 // BWT emit: bwt_out[i] = text[sa[i]-1] for sa[i]>0; the sentinel row
