@@ -59,9 +59,26 @@ from .mapq import mapq_v2
 PAD = 7
 
 
-def _revcomp_batch(reads, lens, quals):
-    """Reverse-complement left-aligned padded reads (and reverse quals)."""
+def _revcomp_batch(reads, lens, quals, uniform_shift: int = -1):
+    """Reverse-complement left-aligned padded reads (and reverse quals).
+
+    ``uniform_shift`` (static, >= 0): every read has the same length,
+    pad_width - length == uniform_shift, so the reverse is a free
+    static flip + static left-shift instead of a per-row gather (the
+    gather costs ~9 ns/element on TPU; uniform-length batches are the
+    common Illumina case and the dispatcher knows from host lens)."""
     R, L = reads.shape
+    if uniform_shift >= 0:
+        sh = uniform_shift
+        g = reads[:, ::-1]
+        rc = jnp.where(g < 4, 3 - g, g).astype(reads.dtype)
+        q = quals[:, ::-1]
+        if sh:
+            rc = jnp.concatenate(
+                [rc[:, sh:], jnp.full((R, sh), PAD, reads.dtype)], axis=1)
+            q = jnp.concatenate(
+                [q[:, sh:], jnp.zeros((R, sh), quals.dtype)], axis=1)
+        return rc, q
     idx = lens[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
     ok = idx >= 0
     g = jnp.take_along_axis(reads, jnp.maximum(idx, 0), axis=1)
@@ -190,9 +207,10 @@ def extend_candidates(
     }
 
 
-def both_strands(reads, lens, quals):
+def both_strands(reads, lens, quals, uniform_shift: int = -1):
     """Stack forward + reverse-complement rows: (2R, L) arrays."""
-    rc_reads, rc_quals = _revcomp_batch(reads, lens, quals)
+    rc_reads, rc_quals = _revcomp_batch(reads, lens, quals,
+                                        uniform_shift=uniform_shift)
     all_reads = jnp.concatenate([reads, rc_reads], axis=0)
     all_quals = jnp.concatenate([quals, rc_quals], axis=0)
     lens2 = jnp.concatenate([lens, lens])
@@ -251,6 +269,7 @@ def candidate_stage(
     gwords=None,
     fm2=None,
     bi: bool = False,
+    uniform_shift: int = -1,
 ):
     """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
@@ -264,7 +283,8 @@ def candidate_stage(
     CAP = params.max_hits_per_seed
     n = fm.n
 
-    all_reads, all_quals, lens2 = both_strands(reads, lens, quals)
+    all_reads, all_quals, lens2 = both_strands(
+        reads, lens, quals, uniform_shift=uniform_shift)
 
     # --- seed & map (FM backward search) ---
     seeds, offsets, sval = extract_uniform_seeds(
@@ -370,7 +390,8 @@ def candidate_stage(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("params", "use_pallas", "bi"))
+@functools.partial(jax.jit, static_argnames=("params", "use_pallas",
+                                              "bi", "uniform_shift"))
 def map_batch(
     fm: FMIndex,
     ssa: SSA,
@@ -385,6 +406,7 @@ def map_batch(
     gwords=None,
     fm2=None,
     bi: bool = False,
+    uniform_shift: int = -1,
 ):
     """Forward mapping step: per-read best/second alignments + MAPQ.
 
@@ -394,7 +416,7 @@ def map_batch(
     cands = candidate_stage(
         fm, ssa, genome, reads, lens, quals,
         params=params, use_pallas=use_pallas, lut=lut, gwords=gwords,
-        fm2=fm2, bi=bi,
+        fm2=fm2, bi=bi, uniform_shift=uniform_shift,
     )
     return top2_finish(cands, lens, params)
 
@@ -856,7 +878,10 @@ class Mapper:
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
-        fwd = self._forward(jr, jl, jq)
+        # uniform-length batches take the static-flip revcomp path
+        ushift = (seqs.shape[1] - int(lens.max())
+                  if len(lens) and lens.min() == lens.max() else -1)
+        fwd = self._forward(jr, jl, jq, uniform_shift=ushift)
         res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
             fwd["win_start"], fwd["strand"], params=self.params,
@@ -959,12 +984,13 @@ class Mapper:
         while pending:
             yield drain()
 
-    def _forward(self, jr, jl, jq):
+    def _forward(self, jr, jl, jq, uniform_shift: int = -1):
         """The jitted forward mapping step; subclasses swap seeding."""
         return map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
             params=self.params, use_pallas=self.use_pallas, lut=self.lut,
             gwords=self.gwords, fm2=self.fm2, bi=self.bi,
+            uniform_shift=uniform_shift,
         )
 
     @staticmethod

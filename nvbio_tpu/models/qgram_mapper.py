@@ -95,7 +95,8 @@ class QGramMapper(Mapper):
         self.max_hits = max_hits
         self.qidx = build_qgram_index(np.asarray(genome_symbols), q=q)
 
-    def _forward(self, jr, jl, jq):
+    def _forward(self, jr, jl, jq, uniform_shift: int = -1):
+        del uniform_shift  # MEM/q-gram seeding reverse-complements per candidate
         return qgram_map_batch(
             self.fm, self.qidx, self.genome, jr, jl, jq,
             q=self.q, stride=self.stride, max_hits=self.max_hits,

@@ -24,6 +24,26 @@
 #include <cstring>
 #include <ctime>
 #include <vector>
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
+
+// Big-buffer allocator (2 MB aligned).  NOTE: MADV_HUGEPAGE was tried
+// and REVERTED — this host runs THP defrag=madvise, so the advice
+// triggers synchronous compaction at fault time and a 4 GB buffer can
+// stall for minutes on a fragmented machine.  Plain pages it is.
+template <typename T>
+struct HugeBuf {
+  T* p = nullptr;
+  size_t n = 0;
+  explicit HugeBuf(size_t count) : n(count) {
+    size_t bytes = (count * sizeof(T) + (1 << 21) - 1) & ~size_t((1 << 21) - 1);
+    p = (T*)aligned_alloc(1 << 21, bytes);
+  }
+  ~HugeBuf() { free(p); }
+  HugeBuf(const HugeBuf&) = delete;
+  T* data() { return p; }
+};
 
 static inline double now_s() {
   struct timespec ts;
@@ -236,20 +256,23 @@ long run_sais(const uint8_t* text, long n, O* sa_out) {
   for (long i = 0; i < n; ++i)
     if (text[i] > maxsym) maxsym = text[i];
   I m = I(n) + 1;
-  std::vector<I> SA; SA.resize(size_t(m));
+  HugeBuf<I> SA{size_t(m)};
+  if (!SA.data()) return -3;
   if (maxsym < 255) {
-    std::vector<uint8_t> s; s.resize(size_t(m));
-    for (long i = 0; i < n; ++i) s[size_t(i)] = text[i] + 1;
-    s[size_t(n)] = 0;
+    HugeBuf<uint8_t> s{size_t(m)};
+    if (!s.data()) return -3;
+    for (long i = 0; i < n; ++i) s.data()[size_t(i)] = text[i] + 1;
+    s.data()[size_t(n)] = 0;
     sais_rec<I, uint8_t>(s.data(), SA.data(), m, I(maxsym) + 2);
   } else {
-    std::vector<I> s; s.resize(size_t(m));
-    for (long i = 0; i < n; ++i) s[size_t(i)] = I(text[i]) + 1;
-    s[size_t(n)] = 0;
+    HugeBuf<I> s{size_t(m)};
+    if (!s.data()) return -3;
+    for (long i = 0; i < n; ++i) s.data()[size_t(i)] = I(text[i]) + 1;
+    s.data()[size_t(n)] = 0;
     sais_rec<I, I>(s.data(), SA.data(), m, I(maxsym) + 2);
   }
-  if (SA[0] != I(n)) return -1;  // sentinel row must sort first
-  for (long i = 0; i < n; ++i) sa_out[i] = (O)SA[size_t(i) + 1];
+  if (SA.data()[0] != I(n)) return -1;  // sentinel row must sort first
+  for (long i = 0; i < n; ++i) sa_out[i] = (O)SA.data()[size_t(i) + 1];
   return 0;
 }
 

@@ -40,6 +40,14 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         sa = sais_native(t8.astype(np.uint8, copy=False))
         if sa is not None:
             return sa
+    if t8.size > 50_000_000:
+        import warnings
+
+        warnings.warn(
+            "native SA-IS unavailable (C++ toolchain?): falling back "
+            f"to O(n log^2 n) prefix doubling for a {t8.size/1e6:.0f} "
+            "Mbp text — expect a VERY long build",
+            RuntimeWarning, stacklevel=2)
     return suffix_array_pd(t8)
 
 

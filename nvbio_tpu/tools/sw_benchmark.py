@@ -87,6 +87,30 @@ def main(argv=None):
                  "gcups": round(gcups, 2), "ms": round(dt * 1e3, 2)})
     print(f"{'myers_edit_distance':20s} {'bitvec':8s} {gcups:8.2f} GCUPS "
           f"({dt*1e3:.1f} ms, full-matrix cells)", file=sys.stderr)
+
+    if on_tpu and LP <= 256:
+        # Pallas Myers kernel (words-on-sublanes bit-parallel scan)
+        from ..ops.myers_pallas import myers_pallas
+
+        fp_ = jax.jit(lambda p, pl, t, tl: myers_pallas(
+            p, pl, t, tl, atype=AlignmentType.SEMI_GLOBAL)[0])
+        np.asarray(fp_(*arr))
+        t0 = time.time()
+        for _ in range(args.iters):
+            np.asarray(fp_(*arr))
+        dt = (time.time() - t0) / args.iters
+        gcups = NB * LP * LT / dt / 1e9
+        rows.append({"aligner": "myers_edit_distance",
+                     "engine": "pallas_bitvector",
+                     "gcups": round(gcups, 2), "ms": round(dt * 1e3, 2)})
+        print(f"{'myers_edit_distance':20s} {'pallas':8s} {gcups:8.2f} "
+              f"GCUPS ({dt*1e3:.1f} ms, full-matrix cells)",
+              file=sys.stderr)
+
+    if args.read_len > 512:
+        # long-read row-blocked kernel is the dispatch target past 512
+        print("(gotoh rows above used ops/long_dp.py — patterns beyond"
+              " the resident-kernel VMEM reach)", file=sys.stderr)
     print(json.dumps(rows))
     return 0
 

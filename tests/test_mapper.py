@@ -292,3 +292,29 @@ def test_pallas_interpret_traceback_walk_matches_xla(mapper):
         assert runs(wx, r) == runs(wp, r), r
         assert int(wx["p_start"][r]) == int(wp["p_start"][r])
         assert int(wx["t_start"][r]) == int(wp["t_start"][r])
+
+
+def test_uniform_shift_revcomp_path_identical(mapper):
+    """The static-flip revcomp fast path (uniform-length batches) is
+    bit-identical to the per-row gather path."""
+    import jax.numpy as jnp
+    from nvbio_tpu.models.mapper import map_batch
+
+    m, genome = mapper
+    sim = simulate_reads(genome, N_READS, READ_LEN, error_rate=0.02,
+                         seed=77)
+    reads, lens, quals, _ = pack_reads(
+        list(sim["seqs"].astype(np.uint8)), list(sim["quals"]),
+        max_len=128)
+    jr = jnp.asarray(reads)
+    jl = jnp.asarray(lens.astype(np.int32))
+    jq = jnp.asarray(quals.astype(np.int32))
+    kw = dict(params=m.params, use_pallas=False, lut=m.lut,
+              fm2=m.fm2, bi=m.bi)
+    a = map_batch(m.fm, m.ssa, m.genome, jr, jl, jq,
+                  uniform_shift=-1, **kw)
+    b = map_batch(m.fm, m.ssa, m.genome, jr, jl, jq,
+                  uniform_shift=128 - READ_LEN, **kw)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]),
+                                      np.asarray(b[k]), err_msg=k)
