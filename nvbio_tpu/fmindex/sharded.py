@@ -93,8 +93,40 @@ def save_sharded_index(prefix: str, idx: ShardedIndex, genome, contig_names,
         json.dump(man, f)
 
 
+def _strip_bi_ssa(ssa):
+    """Drop the SA % K == 1 marks from a bi-marked SSA (host NumPy).
+
+    The sharded mappers run without the fm2 pair-BWT (HBM budget), so
+    the LF^2 double-step never fires and the extra marks only double
+    the vals upload; plain locate() is exact with either marking."""
+    from .index import SSA
+    import jax.numpy as jnp
+
+    if not int(getattr(ssa, "bi", 0)):
+        return ssa
+    words = np.asarray(ssa.mark_words)
+    vals = np.asarray(ssa.vals)
+    bits = np.unpackbits(
+        words.view(np.uint8), bitorder="little").astype(bool)
+    keep_val = (vals % max(int(ssa.k), 1)) == 0
+    rows = np.flatnonzero(bits)
+    bits[rows[~keep_val]] = False
+    packed = np.packbits(bits.reshape(-1, 32), axis=1, bitorder="little")
+    mark_words = packed.view("<u4").reshape(-1)
+    popc = bits.reshape(-1, 32).sum(axis=1)
+    mark_abs = np.zeros(len(mark_words), np.int32)
+    np.cumsum(popc[:-1], out=mark_abs[1:])
+    return SSA(mark_words=jnp.asarray(mark_words),
+               mark_abs=jnp.asarray(mark_abs),
+               vals=jnp.asarray(vals[keep_val]),
+               k=int(ssa.k), bi=0)
+
+
 def load_sharded_index(prefix: str):
-    """Returns (ShardedIndex, genome int8 np array, meta dict)."""
+    """Returns (ShardedIndex, genome int8 np array, meta dict).
+
+    Bi-marked shard SSAs (older builds) are stripped back to mono
+    marks at load (see _strip_bi_ssa)."""
     from ..io.index_file import load_index
 
     with open(prefix + ".manifest.json") as f:
@@ -103,7 +135,8 @@ def load_sharded_index(prefix: str):
     shards = []
     for s in man["shards"]:
         fm, ssa, _g, meta = load_index(os.path.join(d, s["file"]))
-        shards.append((fm, ssa, meta.get("lut"), s["start"], s["length"]))
+        shards.append((fm, _strip_bi_ssa(ssa), meta.get("lut"),
+                       s["start"], s["length"]))
     genome = np.load(prefix + ".genome.npy")
     idx = ShardedIndex(shards, man["n_total"], man["sa_sample"],
                        man["lut_k"])

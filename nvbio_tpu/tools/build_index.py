@@ -62,10 +62,14 @@ def main(argv=None):
                                        save_sharded_index)
         prefix = args.output[:-4] if args.output.endswith(".npz") \
             else args.output
+        # sharded (multi-GB) indexes: the shard-per-chip mappers run
+        # WITHOUT the fm2 pair-BWT (3+ derived copies would exceed
+        # HBM), so bi-marking would double SSA memory for no LF^2
+        # gain — shards default to mono marks
         sidx = build_sharded_index(
             g["symbols"], shard_bp=args.shard_bp,
             overlap=args.shard_overlap, sa_sample=args.sa_sample,
-            lut_k=args.lut_k, bi_sample=not args.sa_mono)
+            lut_k=args.lut_k, bi_sample=False)
         save_sharded_index(prefix, sidx, g["symbols"].astype("int8"),
                            g["names"], g["lens"])
         print(f"[build_index] wrote {len(sidx.shards)}-shard index "

@@ -230,3 +230,25 @@ def test_sharded_save_load_roundtrip(setup, tmp_path):
     n_ok = sum(1 for i, r in enumerate(res)
                if r.aligned and r.pos == starts[i])
     assert n_ok >= len(starts) - 2
+
+
+def test_strip_bi_ssa_preserves_locate():
+    """A bi-marked SSA stripped to mono marks locates identically."""
+    import jax.numpy as jnp
+    from nvbio_tpu.fmindex import build_fm_index, locate
+    from nvbio_tpu.fmindex.sharded import _strip_bi_ssa
+    from nvbio_tpu.utils.simulate import random_genome
+
+    g = random_genome(40_000, seed=91)
+    fm, ssa_bi = build_fm_index(g, sa_sample=8, bi_sample=True)
+    _, ssa_mono = build_fm_index(g, sa_sample=8, bi_sample=False)
+    stripped = _strip_bi_ssa(ssa_bi)
+    np.testing.assert_array_equal(np.asarray(stripped.mark_words),
+                                  np.asarray(ssa_mono.mark_words))
+    np.testing.assert_array_equal(np.asarray(stripped.vals),
+                                  np.asarray(ssa_mono.vals))
+    rows = jnp.asarray(
+        np.random.default_rng(3).integers(0, len(g), 512).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(locate(fm, stripped, rows, k_sample=8)),
+        np.asarray(locate(fm, ssa_mono, rows, k_sample=8)))
