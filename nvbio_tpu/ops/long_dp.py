@@ -327,7 +327,18 @@ def banded_score_long_pallas(
 ):
     """Score-only banded DP for patterns beyond the short-read
     kernel's VMEM reach (row-blocked grid; see module docstring).
-    Bit-identical to alignment.banded_score_batch."""
+    Bit-identical to alignment.banded_score_batch.
+
+    Bands beyond this kernel's VMEM reach (~2*767+1 at row_block=256)
+    dispatch to the anti-diagonal wavefront kernel
+    (ops/wavefront_dp.py) transparently — one alignment per grid
+    program, same bit-exact contract."""
+    if not _band_fits(band_w, row_block, with_dirs=False):
+        from .wavefront_dp import wavefront_score_pallas
+
+        return wavefront_score_pallas(
+            patterns, plens, texts, tlens, quals, scheme=scheme,
+            atype=atype, band_w=band_w, interpret=interpret)
     _check_long(patterns.shape[1], band_w, scheme)
     return _long_call(patterns, plens, texts, tlens, quals,
                       scheme=scheme, atype=atype, band_w=band_w,
@@ -353,6 +364,19 @@ def banded_directions_long_pallas(
                       scheme=scheme, atype=atype, band_w=band_w,
                       with_dirs=True, interpret=interpret, tile=tile,
                       row_block=row_block)
+
+
+def _band_fits(band_w: int, row_block: int, with_dirs: bool) -> bool:
+    """Static feasibility of the row-blocked kernel's VMEM model at
+    its minimum lane tile (mirrors _long_call's budget exactly)."""
+    BAND_PAD = _band_pad(2 * band_w + 1)
+    if with_dirs:
+        BAND_PAD = (max(32, BAND_PAD) + 31) // 32 * 32
+    CH = 8
+    RB = max(row_block // CH * CH, CH)
+    rows = (7 * BAND_PAD + 3 * RB + BAND_PAD + CH
+            + (RB * BAND_PAD // 4 if with_dirs else 0))
+    return rows * 128 * 4 <= 8 * 1024 * 1024
 
 
 def _check_long(Lp: int, band_w: int, scheme) -> None:

@@ -44,7 +44,21 @@ def main(argv=None):
                    default="auto",
                    help="suffix sort: native C++ SA-IS (any size), NumPy "
                    "prefix-doubling, or on-device lax.sort prefix-doubling")
+    p.add_argument("--accelerator", action="store_true",
+                   help="allow JAX to use the accelerator backend. The "
+                        "build is host-side (ref: nvBWT runs the GPU "
+                        "stages upstream, SURVEY.md §3.4; here SA-IS + "
+                        "NumPy occ/SSA) and only *saves* arrays, so the "
+                        "CLI defaults to the CPU backend — this avoids "
+                        "pointless (and, on a degraded tunnel, hanging) "
+                        "device transfers. --algorithm device implies "
+                        "this flag")
     args = p.parse_args(argv)
+
+    if not (args.accelerator or args.algorithm == "device"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..io.fasta import read_fasta
     from ..io.genome import prepare_genome
