@@ -7,9 +7,11 @@ lax.scan advances one text column per step over small (N, W) arrays.
 This kernel keeps the whole scan inside one Pallas program:
 
 - batch across the 128 VPU lanes (one alignment per lane, tile TB);
-- the W bit-vector words across sublanes (W_PAD = 8 -> patterns to
-  256 bp; the word axis IS the sublane axis, so the carry-propagating
-  add inside Myers' recurrence becomes a 3-step Kogge-Stone
+- the W bit-vector words across sublanes (W_PAD scales with the
+  pattern: ceil(Lp/32) rounded to whole 8-sublane tiles, so any
+  length fits until the VMEM model runs out around ~8 kb; the word
+  axis IS the sublane axis, so the carry-propagating add inside
+  Myers' recurrence becomes a log2(W_PAD)-step Kogge-Stone
   carry-lookahead of sublane shifts);
 - text staged (Lt, TB) in VMEM; each step is ~45 full-width VPU ops.
 
@@ -33,9 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..alignment.types import AlignmentType
 
-W_PAD = 8  # bit-vector words on sublanes: patterns up to 256 symbols
 PAD_SYMBOL = 7
 _SIGN = np.int32(-(1 << 31))
+
+
+def _w_pad(Lp: int) -> int:
+    """Bit-vector words for an Lp-symbol pattern, padded to whole
+    8-sublane int32 tiles."""
+    return max(8, (-(-Lp // 32) + 7) // 8 * 8)
 
 
 def _shift_words_up(x, d, fill=0):
@@ -49,7 +56,8 @@ def _ult(a, b):
     return (a ^ _SIGN) < (b ^ _SIGN)
 
 
-def _make_myers_kernel(Lt: int, atype: AlignmentType, TB: int):
+def _make_myers_kernel(Lt: int, atype: AlignmentType, TB: int,
+                       W_PAD: int):
     is_global = atype == AlignmentType.GLOBAL
     CH = 8
 
@@ -152,16 +160,27 @@ def myers_pallas(patterns, plens, texts, tlens, *,
     """Pallas twin of myers_edit_distance_batch.
 
     Returns (distance, t_end) — bit-identical to the XLA twin.
-    Patterns up to 256 symbols (W_PAD * 32)."""
+    W_PAD (bit-vector words on sublanes) scales with the pattern;
+    the lane tile shrinks for long patterns/texts so the VMEM
+    working set stays under budget (raises past ~8 kb patterns at
+    tile=128 — use the banded engines beyond that)."""
     if atype == AlignmentType.LOCAL:
         raise ValueError("Myers aligner is GLOBAL/SEMI_GLOBAL only")
     NB, Lp = patterns.shape
     Lt = texts.shape[1]
-    if Lp > W_PAD * 32:
-        raise ValueError(f"myers_pallas supports patterns to "
-                         f"{W_PAD * 32} bp (got {Lp})")
-    nb_pad = (NB + tile - 1) // tile * tile
+    W_PAD = _w_pad(Lp)
     Lt8 = (Lt + 7) // 8 * 8
+    # VMEM model: peq 4W + text Lt8 + masks/lens 2W+2, state ~4W,
+    # temporaries ~8W int32 rows per lane
+    rows = 18 * W_PAD + Lt8 + 16
+    while tile > 128 and rows * tile * 4 > 8 * 1024 * 1024:
+        tile //= 2
+    if rows * tile * 4 > 8 * 1024 * 1024:
+        raise ValueError(
+            f"myers_pallas working set {rows * tile * 4 / 2**20:.1f} "
+            f"MiB > 8 MiB even at tile={tile} (Lp={Lp}, Lt={Lt}); "
+            "use the banded Gotoh engines for patterns this long")
+    nb_pad = (NB + tile - 1) // tile * tile
 
     def prep(x, fill, cols=None):
         x = x.astype(jnp.int32)
@@ -175,19 +194,21 @@ def myers_pallas(patterns, plens, texts, tlens, *,
     texts_t = prep(texts, PAD_SYMBOL, Lt8).T  # (Lt8, nb_pad)
 
     # Peq words, lens mask, end mask — (W, nb_pad) via XLA ops
-    bitpos = jnp.arange(Lp, dtype=jnp.int32)
-    in_len = bitpos[None, :] < plens_p.T  # (nb_pad, Lp)
+    LW = W_PAD * 32
+    pats_w = jnp.pad(pats, ((0, 0), (0, LW - Lp)),
+                     constant_values=PAD_SYMBOL)
+    bitpos = jnp.arange(LW, dtype=jnp.int32)
+    in_len = bitpos[None, :] < plens_p.T  # (nb_pad, LW)
     warange = jnp.arange(W_PAD, dtype=jnp.int32)
 
     def wordify(hit):
-        """(nb_pad, Lp) bool -> (W_PAD, nb_pad) int32 bitmask words."""
+        """(nb_pad, LW) bool -> (W_PAD, nb_pad) int32 bitmask words
+        (reshape to (nb, W, 32), disjoint-bit sum over the 32)."""
         bits = jnp.where(hit, jnp.int32(1) << (bitpos % 32), 0)
-        seg = (bitpos // 32)[None, :] == warange[:, None, None]
-        # (W_PAD, nb_pad, Lp) OR-reduce: sum works (disjoint bits)
-        return jnp.sum(jnp.where(seg, bits[None, :, :], 0), axis=2)
+        return jnp.sum(bits.reshape(nb_pad, W_PAD, 32), axis=2).T
 
     peq = jnp.concatenate(
-        [wordify((pats == c) & in_len) for c in range(4)], axis=0)
+        [wordify((pats_w == c) & in_len) for c in range(4)], axis=0)
 
     pl_col = plens_p.T  # (nb_pad, 1)
     m1 = jnp.maximum(pl_col - 1, 0)
@@ -203,7 +224,7 @@ def myers_pallas(patterns, plens, texts, tlens, *,
         jnp.int32(1) << (m1.T % 32), 0)
     emask = jnp.where(pl_col.T > 0, emask, 0)
 
-    kernel = _make_myers_kernel(Lt8, atype, tile)
+    kernel = _make_myers_kernel(Lt8, atype, tile, W_PAD)
     grid = (nb_pad // tile,)
     spec = lambda rows: pl.BlockSpec(
         (rows, tile), lambda t: (0, t), memory_space=pltpu.VMEM)

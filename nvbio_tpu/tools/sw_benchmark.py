@@ -88,7 +88,7 @@ def main(argv=None):
     print(f"{'myers_edit_distance':20s} {'bitvec':8s} {gcups:8.2f} GCUPS "
           f"({dt*1e3:.1f} ms, full-matrix cells)", file=sys.stderr)
 
-    if on_tpu and LP <= 256:
+    if on_tpu:  # W_PAD scales with LP; the wrapper guards VMEM
         # Pallas Myers kernel (words-on-sublanes bit-parallel scan)
         from ..ops.myers_pallas import myers_pallas
 

@@ -98,3 +98,50 @@ def test_myers_pallas_matches_twin_interpret():
             interpret=True, tile=128)
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
         np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_myers_pallas_long_patterns():
+    """W_PAD scales with the pattern: 1 kb patterns (32 words) match
+    the XLA twin bit-exactly; the old 256 bp cap is gone."""
+    import jax.numpy as jnp
+    from nvbio_tpu.ops.myers_pallas import myers_pallas, _w_pad
+    from nvbio_tpu.alignment.myers import myers_edit_distance_batch
+    from nvbio_tpu.alignment.types import AlignmentType
+
+    assert _w_pad(256) == 8 and _w_pad(257) == 16 and _w_pad(1024) == 32
+    rng = np.random.default_rng(9)
+    NB, LP = 4, 1000
+    LT = LP + 60
+    plens = np.array([LP, 257, 512, 769], np.int32)
+    pats = rng.integers(0, 4, (NB, LP)).astype(np.int32)
+    texts = rng.integers(0, 4, (NB, LT)).astype(np.int32)
+    for b in range(NB):
+        L = plens[b]
+        t = pats[b, :L].copy()
+        for _ in range(30):
+            t[rng.integers(0, L)] = rng.integers(0, 4)
+        texts[b, 13:13 + L] = t
+    tlens = np.full(NB, LT, np.int32)
+    jp = jnp.asarray
+    for atype in (AlignmentType.SEMI_GLOBAL, AlignmentType.GLOBAL):
+        d0, e0 = myers_edit_distance_batch(
+            jp(pats), jp(plens), jp(texts), jp(tlens), atype=atype)
+        d1, e1 = myers_pallas(
+            jp(pats), jp(plens), jp(texts), jp(tlens), atype=atype,
+            interpret=True, tile=128)
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_myers_pallas_vmem_guard():
+    """Beyond the VMEM model's reach the wrapper raises with a clear
+    message instead of failing at Mosaic compile."""
+    import jax.numpy as jnp
+    from nvbio_tpu.ops.myers_pallas import myers_pallas
+
+    NB, LP = 1, 40000
+    with pytest.raises(ValueError, match="working set"):
+        myers_pallas(
+            jnp.zeros((NB, LP), jnp.int32), jnp.array([LP], jnp.int32),
+            jnp.zeros((NB, LP), jnp.int32), jnp.array([LP], jnp.int32),
+            interpret=True)
