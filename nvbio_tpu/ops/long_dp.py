@@ -358,7 +358,16 @@ def banded_directions_long_pallas(
 ):
     """Directions variant: per-cell traceback flags streamed to HBM
     block-by-block.  Returns (res, dirs (NB, Lp8*BAND_PAD), BAND_PAD)
-    — the walk contract of banded_directions_pallas."""
+    — the walk contract of banded_directions_pallas.
+
+    Wide bands shrink the row block (fewer pattern rows per grid
+    step, so the per-block uint8 dirs tile stays in VMEM) before
+    giving up: CIGAR reach extends from band_w ~104 (row_block=256)
+    to ~815 (row_block=8).  Beyond that only the score-only
+    wavefront path exists — emitted flags would exceed VMEM at any
+    block shape."""
+    while row_block > 8 and not _band_fits(band_w, row_block, True):
+        row_block //= 2
     _check_long(patterns.shape[1], band_w, scheme)
     return _long_call(patterns, plens, texts, tlens, quals,
                       scheme=scheme, atype=atype, band_w=band_w,

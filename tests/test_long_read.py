@@ -178,3 +178,39 @@ def test_mapper_long_reads_end_to_end():
 def _parse_cigar(c):
     import re
     return [(int(l), op) for l, op in re.findall(r"(\d+)([MIDNSHP=X])", c)]
+
+
+def test_wide_band_dirs_autoshrink_row_block():
+    """Wide bands (beyond the default row_block's VMEM reach) auto-
+    shrink the row block and still produce walk-identical flags —
+    CIGAR reach extends to band_w ~800 (ONT-class)."""
+    from nvbio_tpu.ops.long_dp import (banded_directions_long_pallas,
+                                       _band_fits)
+
+    band_w = 300
+    assert not _band_fits(band_w, 256, with_dirs=True)
+    assert _band_fits(band_w, 64, with_dirs=True)
+    lp = 800
+    pats, plens, quals, texts, tlens = _long_batch(
+        2, lp, band_w, 17, n_mut=40, n_indel=10)
+    kw = dict(scheme=GotohScheme(), atype=AlignmentType.SEMI_GLOBAL,
+              band_w=band_w)
+    jp = jnp.asarray
+    ra, da = banded_directions_batch(jp(pats), jp(plens), jp(texts),
+                                     jp(tlens), jp(quals), **kw)
+    rb, db, BP = banded_directions_long_pallas(
+        jp(pats), jp(plens), jp(texts), jp(tlens), jp(quals),
+        interpret=True, tile=128, **kw)
+    for f in ("score", "p_end", "t_end"):
+        np.testing.assert_array_equal(np.asarray(ra[f]),
+                                      np.asarray(rb[f]), err_msg=f)
+    BAND = 2 * band_w + 1
+    ia = ra["p_end"].astype(jnp.int32)
+    ka = ra["t_end"].astype(jnp.int32) - ia + band_w
+    wa = _runjump_walk(jp(np.asarray(da).reshape(2, -1)), BAND, ia, ka)
+    ib = rb["p_end"].astype(jnp.int32)
+    kb = rb["t_end"].astype(jnp.int32) - ib + band_w
+    wb = _runjump_walk(jp(db), BP, ib, kb)
+    for r in range(2):
+        assert _walk_runs(wa[2], wa[3], r) == _walk_runs(wb[2], wb[3], r)
+        assert int(wa[0][r]) == int(wb[0][r])
