@@ -1,0 +1,207 @@
+"""Two-pass wide-band alignment WITH traceback (score-derived band).
+
+Completes the long-alignment tier (ref: nvbio/alignment/batched.h
+warp-per-alignment wavefront scheduler + checkpointed traceback,
+SURVEY.md §3.5/§5.8(b-c)) for bands beyond the row-blocked direction
+kernel's VMEM reach (band_w ≳ 800): ONT-class long reads where the
+alignment diagonal is unknown up front.
+
+TPU-native design instead of checkpoint-recompute traceback:
+
+1. **Score pass** at the requested wide band — the anti-diagonal
+   wavefront kernel (ops/wavefront_dp.py) via
+   ``banded_score_long_pallas``'s automatic dispatch.  O(1) memory
+   per alignment, no flags.
+2. **Band derivation** (host, exact): any path scoring ``s`` has at
+   most ``g = (perfect(Lp) - s - min(open)) // min(extend)`` indels
+   — each E/D or F/I step costs at least ``min(ee, fe)`` on top of
+   one ``min(eo, fo)`` — and every indel moves the path's diagonal
+   by one, so the whole optimal path stays within ``g`` diagonals of
+   the end cell's diagonal ``d_end = t_end - p_end`` (and its
+   leftmost text column is ``>= d_end - g``, see derive_tb_band).
+3. **Traceback pass** on a window starting at text column
+   ``max(d_end - g, 0)`` with the derived (quantized, <= ~2g) narrow
+   band — the row-blocked directions kernel + the run-jump walk,
+   both existing machinery.
+
+The derived band is a *certificate*, not a heuristic: pass 2's window
+contains an optimal pass-1 path entirely, so its score matches pass 1
+exactly (asserted in tests) and the emitted CIGAR attains it.  When
+several optimal paths exist the traced one follows pass 2's in-window
+tie-break, which can differ from a full-band twin's choice — the
+score and validity are identical.  Alignments so bad that the
+certificate exceeds ``max_tb_band`` (score gap > ~2300 at default
+penalties) report ``tb_ok=False`` with score/ends only — for a
+mapper those are discards anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import AlignmentType, GotohScheme, NEG_INF, gap_penalties
+from .walk import runjump_walk
+
+#: static band ladder for the traceback pass: one compile variant per
+#: rung; 767 is the widest band the dirs kernel's VMEM model fits at
+#: row_block=8 (ops/long_dp.py _band_fits)
+TB_BANDS = (31, 63, 127, 255, 511, 767)
+PAD_SYMBOL = 7
+
+
+def derive_tb_band(plens, scores, p_end, t_end, scheme):
+    """Per-alignment exact traceback certificate (host NumPy).
+
+    Indel budget ``g`` from the score gap bounds the optimal path's
+    diagonal span to ``[d_end - g, d_end + g]`` — AND its leftmost
+    text column to ``>= d_end - g`` (reached only at pattern row 0).
+    A pass-2 window ``(off, B2)`` covers text cols ``[off, ...)`` and
+    diagonals ``[off - B2, off + B2]``; the left text edge therefore
+    forces ``off <= d_end - g`` (clipped at 0), and covering the
+    diagonal span from there costs ``B2 >= (d_end + g) - off``.
+
+    Returns ``(need, off)``: the minimal band and the window start.
+    """
+    plens = np.asarray(plens, np.int64)
+    scores = np.asarray(scores, np.int64)
+    d_end = np.asarray(t_end, np.int64) - np.asarray(p_end, np.int64)
+    eo, ee, fo, fe = gap_penalties(scheme)
+    perfect = plens * scheme.match
+    gap = np.maximum(perfect - scores - min(eo, fo), 0)
+    g = gap // max(min(ee, fe), 1)
+    off = np.maximum(d_end - g, 0)
+    need = np.maximum(d_end + g - off, off - (d_end - g))
+    return need.astype(np.int64), off.astype(np.int64)
+
+
+def _quantize_band(need: int) -> int | None:
+    for b in TB_BANDS:
+        if need <= b:
+            return b
+    return None
+
+
+def wide_band_cigar_batch(
+    patterns,  # (NB, Lp) int8 symbols (0..3; >=4 N)
+    plens,  # (NB,) int32
+    texts,  # (NB, Lt)
+    tlens,  # (NB,) int32
+    quals=None,  # (NB, Lp) or None
+    *,
+    scheme: GotohScheme,
+    atype: AlignmentType,
+    band_w: int,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    max_tb_band: int = TB_BANDS[-1],
+):
+    """Wide-band banded Gotoh with CIGAR via the two-pass schedule.
+
+    Host-level function (two jit dispatches + one scalar sync).
+    Returns a dict of host arrays: ``score``, ``p_end``, ``t_end``
+    (coordinates in the ORIGINAL text), ``p_start``, ``t_start``,
+    ``run_ops``/``run_lens`` (CIGAR runs in end->start walk order,
+    codes {0 none, 1 M, 2 D, 3 I}), ``tb_ok`` (bool: CIGAR present),
+    ``tb_band`` (the band certificate used).
+    """
+    NB, Lp = patterns.shape
+    patterns = jnp.asarray(patterns)
+    texts = jnp.asarray(texts)
+    plens_j = jnp.asarray(plens, jnp.int32)
+    tlens_j = jnp.asarray(tlens, jnp.int32)
+    quals_j = None if quals is None else jnp.asarray(quals)
+
+    # ---- pass 1: wide-band score (wavefront kernel past the
+    # row-blocked kernel's reach; XLA twin on CPU/test paths) ----
+    if use_pallas:
+        from ..ops.long_dp import banded_score_long_pallas
+
+        res1 = banded_score_long_pallas(
+            patterns, plens_j, texts, tlens_j, quals_j,
+            scheme=scheme, atype=atype, band_w=band_w,
+            interpret=interpret)
+    else:
+        from .batched import banded_score_batch
+
+        res1 = banded_score_batch(
+            patterns, plens_j, texts, tlens_j, quals_j,
+            scheme=scheme, atype=atype, band_w=band_w)
+    score = np.asarray(res1["score"]).astype(np.int64)
+    p_end = np.asarray(res1["p_end"]).astype(np.int64)
+    t_end = np.asarray(res1["t_end"]).astype(np.int64)
+
+    # ---- derive + quantize the traceback band ----
+    valid = score > NEG_INF // 2
+    need, off = derive_tb_band(plens, score, p_end, t_end, scheme)
+    tb_ok = valid & (need <= max_tb_band)
+    need_max = int(need[tb_ok].max()) if tb_ok.any() else TB_BANDS[0]
+    B2 = _quantize_band(min(need_max, max_tb_band)) or max_tb_band
+
+    out = {
+        "score": score, "p_end": p_end, "t_end": t_end,
+        "tb_ok": tb_ok, "tb_band": np.full(NB, B2, np.int32),
+        "p_start": np.zeros(NB, np.int64),
+        "t_start": np.zeros(NB, np.int64),
+        "run_ops": np.zeros((NB, 1), np.uint8),
+        "run_lens": np.zeros((NB, 1), np.int32),
+    }
+    if not tb_ok.any():
+        return out
+
+    # ---- pass 2: re-positioned window, narrow-band directions DP ----
+    # cell (i, k) of the banded DP over the window maps to text col
+    # j = off + i + k - B2; derive_tb_band picked (need, off) so the
+    # window's diagonal AND text-column reach contain every optimal
+    # path end-to-end (see its docstring).
+    off = np.where(tb_ok, off, 0)
+    LT2 = Lp + 2 * B2
+    Lt = texts.shape[1]
+    off_j = jnp.asarray(off, jnp.int32)
+    gidx = off_j[:, None] + jnp.arange(LT2, dtype=jnp.int32)[None, :]
+    texts2 = jnp.where(gidx < Lt,
+                       jnp.take_along_axis(
+                           texts, jnp.minimum(gidx, Lt - 1), axis=1),
+                       PAD_SYMBOL)
+    tlens2 = jnp.clip(tlens_j - off_j, 0, LT2)
+
+    if use_pallas:
+        from ..ops.banded_dp import banded_directions_pallas
+
+        res2, dirs_flat, BP = banded_directions_pallas(
+            patterns, plens_j, texts2, tlens2, quals_j,
+            scheme=scheme, atype=atype, band_w=B2,
+            interpret=interpret)
+        stride = int(BP)
+    else:
+        from .batched import banded_directions_batch
+
+        res2, dirs = banded_directions_batch(
+            patterns, plens_j, texts2, tlens2, quals_j,
+            scheme=scheme, atype=atype, band_w=B2)
+        stride = 2 * B2 + 1
+        dirs_flat = dirs.reshape(NB, Lp * stride)
+
+    i0 = res2["p_end"].astype(jnp.int32)
+    k0 = res2["t_end"].astype(jnp.int32) - i0 + B2
+    fi, fk, run_ops, run_lens = runjump_walk(
+        dirs_flat, stride, i0, k0,
+        active=jnp.asarray(tb_ok))
+
+    score2 = np.asarray(res2["score"]).astype(np.int64)
+    # the band certificate guarantees pass 2 recovers pass 1's optimum
+    # (its window contains an optimal path end-to-end); a higher pass-2
+    # score is equally legitimate (a better path within the recentered
+    # band) and is what the emitted CIGAR attains — report it.
+    out["score"] = np.where(tb_ok, np.maximum(score, score2), score)
+    p_end2 = np.asarray(res2["p_end"]).astype(np.int64)
+    t_end2 = np.asarray(res2["t_end"]).astype(np.int64) + off
+    out["p_end"] = np.where(tb_ok, p_end2, p_end)
+    out["t_end"] = np.where(tb_ok, t_end2, t_end)
+    fi = np.asarray(fi).astype(np.int64)
+    fk = np.asarray(fk).astype(np.int64)
+    out["p_start"] = np.where(tb_ok, fi, 0)
+    out["t_start"] = np.where(tb_ok, off + fi + fk - B2, 0)
+    out["run_ops"] = np.asarray(run_ops)
+    out["run_lens"] = np.asarray(run_lens)
+    return out
