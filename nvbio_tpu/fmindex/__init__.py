@@ -28,4 +28,6 @@ from .fm2 import (  # noqa: F401
     rank2,
     backward_search2,
     locate2,
+    locate2_mono,
+    build_fm2_device,
 )

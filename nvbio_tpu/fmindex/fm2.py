@@ -39,6 +39,7 @@ dependent chain, which no cache can do.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -46,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .index import FMIndex, SSA, rank, _is_marked, _rank1
+from ..basic.packed import popc_2bit_prefix
 
 BLOCK2 = 128  # pairs per occ block (16 words x 8 nibbles)
 _M1 = jnp.uint32(0x11111111)
@@ -156,21 +158,8 @@ def locate2(fm: FMIndex, fm2: FM2, ssa: SSA, idx, k_sample: int):
     def step(carry, _):
         i, steps, done = carry
         done = done | _is_marked(ssa, i)
-        b = i >> 7
-        w = (i >> 3) & 15
-        rn = i & 7
         # the pair read and the in-word rank share ONE gathered word
-        word = fm2.pair_words[b, w]
-        p = ((word >> (4 * rn).astype(jnp.uint32)) & 15).astype(jnp.int32)
-        cnt = (
-            fm2.occ_abs[b, p]
-            + fm2.occ_sub[b, w, p].astype(jnp.int32)
-            + _popc_nibble_prefix(word, p, rn)
-        )
-        corr = ((p == 0) & (i > fm2.row_a)).astype(jnp.int32) + (
-            (p == 0) & (i > fm2.row_b)
-        ).astype(jnp.int32)
-        nxt = fm2.C2[p] + cnt - corr
+        nxt = _lf2(fm2, i)
         i = jnp.where(done, i, nxt)
         steps = steps + jnp.where(done, 0, 2)
         return (i, steps, done), None
@@ -181,6 +170,92 @@ def locate2(fm: FMIndex, fm2: FM2, ssa: SSA, idx, k_sample: int):
         step, (idx, steps0, done0), None, length=n_steps
     )
     return ssa.vals[_rank1(ssa, i)] + steps
+
+
+def _lf2(fm2: FM2, i):
+    """One LF² double-step (the locate2 body, shared): returns the
+    next row.  Sentinel-adjacent rows (pair stored 0) excluded by the
+    corr terms."""
+    b = i >> 7
+    w = (i >> 3) & 15
+    rn = i & 7
+    word = fm2.pair_words[b, w]
+    p = ((word >> (4 * rn).astype(jnp.uint32)) & 15).astype(jnp.int32)
+    cnt = (
+        fm2.occ_abs[b, p]
+        + fm2.occ_sub[b, w, p].astype(jnp.int32)
+        + _popc_nibble_prefix(word, p, rn)
+    )
+    corr = ((p == 0) & (i > fm2.row_a)).astype(jnp.int32) + (
+        (p == 0) & (i > fm2.row_b)
+    ).astype(jnp.int32)
+    return fm2.C2[p] + cnt - corr
+
+
+def locate2_mono(fm: FMIndex, fm2: FM2, ssa: SSA, idx, k_sample: int):
+    """SSA locate via LF² double-steps over a MONO-marked SSA
+    (SA % K == 0 only — the sharded hg-scale default layout).
+
+    The bi-marked SSA fixes the parity problem by doubling the sample
+    memory; this walk fixes it with a second *parallel* check inside
+    each round instead: from row ``i`` it tests ``marked(i)`` and
+    ``marked(LF(i))`` together — ``LF(i)`` comes from one base-index
+    rank that gathers alongside the pair-word rank, so the
+    **dependent** chain is still floor((K-1)/2) rounds (one LF² per
+    round), identical to locate2, at ~2x the per-round gather volume
+    and zero extra index memory.
+
+    The single-step LF sources its symbol from the BASE BWT word, not
+    the pair word: pair nibbles are stored 0 at the two
+    sentinel-adjacent rows, so the pair word would mis-read the row
+    with SA == 1 — exactly the row whose parallel check must land on
+    the marked SA == 0 row.  Rows with SA in {0, 1} are therefore
+    always caught by a check, and the LF² step only ever fires from
+    SA >= 2: the walk cannot cross the sentinel, mirroring locate2's
+    bi-mark guarantee.
+    """
+    n_steps = max((k_sample - 1) // 2, 0)
+
+    def check(i, fin, off, done, steps):
+        """Resolve offsets (steps, steps+1) in one gather round."""
+        m0 = _is_marked(ssa, i)
+        b = i >> 7
+        w = (i >> 4) & 7
+        r = i & 15
+        word = fm.bwt_words[b, w]
+        c = ((word >> (2 * r).astype(jnp.uint32)) & 3).astype(jnp.int32)
+        cnt = (
+            fm.occ_abs[b, c]
+            + fm.occ_sub[b, w, c].astype(jnp.int32)
+            + popc_2bit_prefix(
+                word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+            ).astype(jnp.int32)
+        )
+        cnt = cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
+        lf1 = fm.C[c] + cnt
+        m1 = _is_marked(ssa, lf1)
+        take0 = ~done & m0
+        take1 = ~done & ~m0 & m1
+        fin = jnp.where(take0, i, jnp.where(take1, lf1, fin))
+        off = jnp.where(take0, steps, jnp.where(take1, steps + 1, off))
+        return fin, off, done | m0 | m1
+
+    def step(carry, _):
+        i, steps, fin, off, done = carry
+        fin, off, done = check(i, fin, off, done, steps)
+        nxt = _lf2(fm2, i)
+        i = jnp.where(done, i, nxt)
+        steps = steps + jnp.where(done, 0, 2)
+        return (i, steps, fin, off, done), None
+
+    steps0 = jnp.zeros_like(idx)
+    (i, steps, fin, off, done), _ = jax.lax.scan(
+        step,
+        (idx, steps0, idx, steps0, jnp.zeros(idx.shape, bool)),
+        None, length=n_steps,
+    )
+    fin, off, done = check(i, fin, off, done, steps)  # offsets 2n, 2n+1
+    return ssa.vals[_rank1(ssa, fin)] + off
 
 
 def build_fm2(fm: FMIndex, slab_bytes: int = 1 << 27) -> FM2:
@@ -271,3 +346,108 @@ def build_fm2(fm: FMIndex, slab_bytes: int = 1 << 27) -> FM2:
         row_a=jnp.asarray(primary, jnp.int32),
         row_b=jnp.asarray(row_b, jnp.int32),
     )
+
+def _fm2_chunk(fm, b0, CB: int):
+    """Derive one CB-block chunk of the pair-BWT on device (pure
+    function of the chunk position — overlapping tail recompute is
+    safe).  Returns (pair_words (CB, 16) u32, occ_sub (CB, 16, 16) i8,
+    block_tot (CB, 16) i32, row_b_cand () i32)."""
+    m = fm.n + 1
+    words = jax.lax.dynamic_slice(fm.bwt_words, (b0, 0),
+                                  (CB, 8))  # (CB, 8) u32
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    syms = ((words[:, :, None] >> shifts) & 3).astype(
+        jnp.int8).reshape(CB, 128)  # stored symbols (dummy 'A' incl.)
+    i_all = (b0 * 128 + jnp.arange(CB * 128, dtype=jnp.int32)).reshape(
+        CB, 128)
+
+    # LF(i) = C[s] + stored_rank(s, i) - dummy-A correction; the
+    # stored rank is the block's occ_abs base + an in-chunk exclusive
+    # one-hot cumsum (no gathers — the whole point of chunking)
+    oh = (syms[:, :, None] == jnp.arange(4, dtype=jnp.int8)).astype(
+        jnp.int32)  # (CB, 128, 4)
+    excl = jnp.cumsum(oh, axis=1) - oh
+    base = jax.lax.dynamic_slice(fm.occ_abs, (b0, 0), (CB, 4))
+    srank = jnp.take_along_axis(
+        base[:, None, :] + excl, syms[:, :, None].astype(jnp.int32),
+        axis=2)[:, :, 0]
+    s32 = syms.astype(jnp.int32)
+    corr = ((s32 == 0) & (i_all > fm.primary)).astype(jnp.int32)
+    LF = fm.C[s32] + srank - corr
+    LF = jnp.where(i_all == fm.primary, 0, LF)
+
+    # second symbol: one global BWT-word gather per row
+    wflat = fm.bwt_words.reshape(-1)
+    w2 = wflat[LF >> 4]
+    s2 = ((w2 >> (2 * (LF & 15)).astype(jnp.uint32)) & 3).astype(
+        jnp.int32)
+
+    is_row_b = (LF == fm.primary) & (i_all < m)
+    pair = jnp.where(
+        (i_all == fm.primary) | is_row_b | (i_all >= m),
+        0, s32 | (s2 << 2)).astype(jnp.uint32)  # (CB, 128) nibbles
+    row_b_cand = jnp.min(jnp.where(is_row_b, i_all, jnp.int32(2**31 - 1)))
+
+    # pack nibbles LSB-first into 16 u32 words per 128-pair block
+    nib = pair.reshape(CB * 16, 8)
+    sh4 = (4 * jnp.arange(8, dtype=jnp.uint32))[None, :]
+    pair_words = (nib << sh4).sum(axis=1, dtype=jnp.uint32).reshape(
+        CB, 16)
+
+    # blocked occurrence tables over the 16-pair alphabet (STORED
+    # counts, sentinel-adjacent zeros included — same as the host)
+    oh16 = (pair.reshape(CB, 16, 8)[:, :, :, None]
+            == jnp.arange(16, dtype=jnp.uint32)).astype(jnp.int32)
+    wc = oh16.sum(axis=2)  # (CB, 16 words, 16 pairs)
+    wcum = jnp.cumsum(wc, axis=1)
+    occ_sub = (wcum - wc).astype(jnp.int8)
+    block_tot = wcum[:, -1]
+    return pair_words, occ_sub, block_tot, row_b_cand
+
+
+@functools.partial(jax.jit, static_argnames=("CB",))
+def _fm2_derive_jit(fm, CB: int):
+    n_blocks = fm.bwt_words.shape[0]
+    n_chunks = (n_blocks + CB - 1) // CB
+    pair_words = jnp.zeros((n_blocks, 16), jnp.uint32)
+    occ_sub = jnp.zeros((n_blocks, 16, 16), jnp.int8)
+    block_tot = jnp.zeros((n_blocks, 16), jnp.int32)
+
+    def body(c, carry):
+        pw, os_, bt, rb = carry
+        b0 = jnp.minimum(c * CB, n_blocks - CB)  # tail overlap is safe
+        cpw, cos, cbt, crb = _fm2_chunk(fm, b0, CB)
+        pw = jax.lax.dynamic_update_slice(pw, cpw, (b0, 0))
+        os_ = jax.lax.dynamic_update_slice(os_, cos, (b0, 0, 0))
+        bt = jax.lax.dynamic_update_slice(bt, cbt, (b0, 0))
+        return pw, os_, bt, jnp.minimum(rb, crb)
+
+    pair_words, occ_sub, block_tot, row_b = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (pair_words, occ_sub, block_tot, jnp.int32(2**31 - 1)))
+    occ_abs = jnp.cumsum(block_tot, axis=0) - block_tot
+    row_b = jnp.where(row_b == 2**31 - 1, fm.primary, row_b)
+
+    p_all = jnp.arange(16, dtype=jnp.int32)
+    C2 = fm.C[p_all >> 2] + rank(fm, p_all >> 2, fm.C[p_all & 3])
+    return pair_words, occ_abs, occ_sub, C2, row_b
+
+
+def build_fm2_device(fm: FMIndex, chunk_blocks: int = 1 << 15) -> FM2:
+    """Derive FM2 from a device-resident FMIndex ON DEVICE: one jit
+    dispatch, chunked fori_loop (in-place dynamic_update_slice
+    outputs), ~1.5 bytes/row of transient state beyond the 3 bytes/row
+    result.  For hg-scale shards this replaces minutes of host NumPy +
+    a multi-GB H2D upload with seconds of on-chip work — the base
+    index is already resident (SURVEY.md §3.3; the n-step FM-index of
+    Chacón et al. derived where it is consumed).
+
+    Bit-identical to build_fm2 (tested): same stored-count layout,
+    same sentinel-adjacent zeroing, same C2.
+    """
+    n_blocks = int(fm.bwt_words.shape[0])
+    CB = max(min(chunk_blocks, n_blocks), 1)
+    pair_words, occ_abs, occ_sub, C2, row_b = _fm2_derive_jit(fm, CB)
+    return FM2(pair_words=pair_words, occ_abs=occ_abs, occ_sub=occ_sub,
+               C2=C2, row_a=jnp.asarray(fm.primary, jnp.int32),
+               row_b=row_b.astype(jnp.int32))

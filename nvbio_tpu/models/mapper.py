@@ -46,7 +46,8 @@ from ..alignment import banded_score_batch, banded_directions_batch
 from ..alignment.cigar import cigar_to_string, make_md_string
 from ..alignment.types import NEG_INF, AlignmentType
 from ..fmindex import (FMIndex, SSA, backward_search, locate,
-                       backward_search2, locate2, build_fm2)
+                       backward_search2, locate2, locate2_mono,
+                       build_fm2)
 from ..ops.banded_dp import (banded_score_pallas,
                              banded_score_pallas_packed,
                              pack_genome_words)
@@ -247,6 +248,11 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int,
         # 2-step LF walk over the bi-marked SSA: floor((K-1)/2) gather
         # rounds instead of K (fmindex/fm2.py)
         comp_pos = locate2(fm, fm2, ssa, comp_rows, k_sample=k_sample)
+    elif fm2 is not None:
+        # mono-marked SSA (sharded hg-scale layout): same chain length
+        # via the parallel marked(i)/marked(LF(i)) check — fm2.py
+        comp_pos = locate2_mono(fm, fm2, ssa, comp_rows,
+                                k_sample=k_sample)
     else:
         comp_pos = locate(fm, ssa, comp_rows, k_sample=k_sample)
     pos_flat = jnp.where(

@@ -134,3 +134,62 @@ def test_bi_marked_ssa_backward_compatible():
     idx = rng.integers(0, n + 1, 200)
     got = np.asarray(locate(fm, ssa, jnp.asarray(idx, jnp.int32), k_sample=k))
     np.testing.assert_array_equal(got, sa_full[idx])
+
+
+def test_locate2_mono_matches_locate():
+    """Mono-marked SSA double-step walk (locate2_mono) == single-step
+    locate for every sampling rate, including the SA<2 edge rows the
+    parallel check must catch (see fm2.locate2_mono docstring)."""
+    from nvbio_tpu.fmindex import locate2_mono
+
+    rng = np.random.default_rng(13)
+    for n, k in [(500, 4), (2000, 4), (2000, 8), (777, 2), (900, 1),
+                 (1100, 3), (1300, 5)]:
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        fm, ssa = build_fm_index(text, sa_sample=k)  # MONO marks
+        assert not getattr(ssa, "bi", 0)
+        fm2 = build_fm2(fm)
+        idx = jnp.asarray(rng.integers(0, n + 1, 512), jnp.int32)
+        want = np.asarray(locate(fm, ssa, idx, k_sample=k))
+        got = np.asarray(locate2_mono(fm, fm2, ssa, idx, k_sample=k))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n} k={k}")
+
+
+def test_locate2_mono_exact_positions_all_rows():
+    """Every SA row (exhaustive) against ground truth — covers all
+    walk parities and the sentinel-adjacent rows."""
+    from nvbio_tpu.fmindex import locate2_mono
+
+    rng = np.random.default_rng(14)
+    n, k = 1500, 4
+    text = rng.integers(0, 4, n).astype(np.uint8)
+    sa = suffix_array(text)
+    fm, ssa = build_fm_index(text, sa_sample=k, sa=sa)
+    fm2 = build_fm2(fm)
+    sa_full = np.empty(n + 1, np.int64)
+    sa_full[0] = n
+    sa_full[1:] = sa
+    idx = np.arange(n + 1)
+    got = np.asarray(locate2_mono(
+        fm, fm2, ssa, jnp.asarray(idx, jnp.int32), k_sample=k))
+    np.testing.assert_array_equal(got, sa_full)
+
+
+def test_build_fm2_device_matches_host():
+    """On-device chunked derivation == host build_fm2, bit for bit,
+    across sizes that exercise the chunk tail overlap (n_blocks not a
+    multiple of the chunk), tiny inputs, and the sentinel rows."""
+    from nvbio_tpu.fmindex import build_fm2_device
+
+    rng = np.random.default_rng(15)
+    for n, cb in [(100, 4), (2048, 4), (5000, 8), (70_001, 64)]:
+        text = rng.integers(0, 4, n).astype(np.uint8)
+        fm, _ = build_fm_index(text, sa_sample=4)
+        want = build_fm2(fm)
+        got = build_fm2_device(fm, chunk_blocks=cb)
+        for f in ("pair_words", "occ_abs", "occ_sub", "C2"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)),
+                np.asarray(getattr(want, f)), err_msg=f"{f} n={n}")
+        assert int(got.row_a) == int(want.row_a)
+        assert int(got.row_b) == int(want.row_b)
