@@ -64,13 +64,13 @@ def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas", "k"))
 def _shard_all(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
                params: MapperParams, use_pallas=False, k=8, lut=None,
-               gwords=None):
+               gwords=None, fm2=None):
     """Per-shard top-k candidates for --all mode (ownership-masked)."""
     C = params.max_candidates
     k = min(k, 2 * C)
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
                         params=params, use_pallas=use_pallas, lut=lut,
-                        gwords=gwords)
+                        gwords=gwords, fm2=fm2)
     ws = c["win_start"]
     sc = jnp.where((ws >= lo) & (ws < hi), c["score"], NEG_INF)
     order = jnp.argsort(-sc, axis=1)[:, :k]
@@ -108,10 +108,10 @@ def _sharded_all_merge(per_shard, lens, params: MapperParams, k=8):
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def _shard_cands(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
                  params: MapperParams, use_pallas=False, lut=None,
-                 gwords=None):
+                 gwords=None, fm2=None):
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
                         params=params, use_pallas=use_pallas, lut=lut,
-                        gwords=gwords)
+                        gwords=gwords, fm2=fm2)
     # ownership interval [lo, hi): alignments starting in the overlap
     # tail belong to the next shard, and window origins clamped to the
     # shard's left edge (local 0, non-first shards) are clipped
@@ -283,10 +283,15 @@ class ShardedMapper(Mapper):
     """Host orchestration over a ShardedIndex; SAM emit shared with the
     flagship mapper (global positions appear only on the host)."""
 
+    #: pair-BWT bytes across ALL shards below which fm2 is derived
+    #: once at init and kept resident (fm2_mode="auto")
+    FM2_RESIDENT_BUDGET = 2 << 30
+
     def __init__(self, sidx, genome_symbols: np.ndarray,
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
-                 contigs: dict | None = None, device_state: bool = True):
+                 contigs: dict | None = None, device_state: bool = True,
+                 fm2_mode: str = "auto"):
         ssa_k = int(getattr(sidx.shards[0][1], "k", 0) or 0)
         if ssa_k and params.sa_sample != ssa_k:
             from dataclasses import replace
@@ -344,6 +349,27 @@ class ShardedMapper(Mapper):
             np.where(np.abs(rel64) < 2**31 - 1, rel64,
                      np.int64(-(2**31))).astype(np.int32))
 
+        # 2-step FM-index mode (fmindex/fm2.py): "resident" derives a
+        # pair-BWT per shard at init (all stay in HBM — small/medium
+        # genomes); "stream" holds ONE shard's pair-BWT at a time and
+        # runs map_stream shard-major (hg-scale: ~3 bytes/row per
+        # shard cannot all be resident); "off" disables fm2
+        if not params.use_fm2 or not device_state:
+            fm2_mode = "off"
+        elif fm2_mode == "auto":
+            total = sum(3 * int(st["fm"].bwt_words.shape[0]) * 128
+                        for st in self.shard_state)
+            fm2_mode = ("resident" if total <= self.FM2_RESIDENT_BUDGET
+                        else "stream")
+        self.fm2_mode = fm2_mode
+        if fm2_mode == "resident":
+            from ..fmindex import build_fm2_device
+            for st in self.shard_state:
+                st["fm2"] = build_fm2_device(st["fm"])
+        else:
+            for st in self.shard_state:
+                st["fm2"] = None
+
     def _dispatch_chunk(self, seqs, lens, quals):
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
@@ -355,7 +381,7 @@ class ShardedMapper(Mapper):
                          jnp.asarray(st["own_lo"], jnp.int32),
                          jnp.asarray(st["own_hi"], jnp.int32),
                          params=self.params, use_pallas=self.use_pallas,
-                         lut=st["lut"], gwords=st["gw"])
+                         lut=st["lut"], gwords=st["gw"], fm2=st["fm2"])
             for st in self.shard_state
         ]
         fwd = _sharded_top2(cands, jl, self.params)
@@ -365,6 +391,84 @@ class ShardedMapper(Mapper):
             use_pallas=self.use_pallas,
         )
         return (seqs, lens, quals, fwd, walk, R)
+
+    def map_stream(self, packed_iter, depth: int = 2):
+        if self.fm2_mode != "stream":
+            yield from super().map_stream(packed_iter, depth)
+            return
+        yield from self._map_stream_shard_major(packed_iter)
+
+    def _map_stream_shard_major(self, packed_iter):
+        """Shard-major streaming: ONE shard's pair-BWT in HBM at a
+        time (hg-scale fm2; see __init__).
+
+        Phase 1 buffers the input and runs the candidate stage for
+        every chunk against shard s before moving to shard s+1 —
+        deriving shard s's pair-BWT on device (build_fm2_device: the
+        base index is already resident, nothing is uploaded), pulling
+        each chunk's compact per-shard candidate dict to the host, and
+        dropping the pair-BWT before the next shard.  Phase 2 replays
+        the cross-shard top-2 merge + winner-shard walk per chunk —
+        identical math to the batch-major path, so results are
+        bit-identical to fm2_mode="off"/"resident" (tested).
+
+        Tradeoffs vs batch-major: the whole input stream is buffered
+        (host) before any output appears — a crash mid-run resumes
+        from nothing — and per-chunk candidate dicts (~a few MB each)
+        ride host RAM between phases.  The reference has no analog:
+        its GPU held one whole-genome index (SURVEY.md §3.3); this is
+        the TPU-native answer to hg-scale 2-step indexes on one chip.
+        """
+        from ..fmindex import build_fm2_device
+
+        B = self.params.batch_size
+        batches = []  # (names, seqs, lens, quals, chunk indices)
+        chunks = []  # (padded seqs, lens, quals, live row count)
+        for names, seqs, lens, quals in packed_iter:
+            seqs, quals = self._len_bucket(seqs, lens, quals)
+            idxs = []
+            for s0 in range(0, seqs.shape[0], B):
+                c = self._pad_chunk(seqs[s0 : s0 + B],
+                                    lens[s0 : s0 + B],
+                                    quals[s0 : s0 + B])
+                idxs.append(len(chunks))
+                chunks.append((*c, min(B, seqs.shape[0] - s0)))
+            batches.append((names, seqs, lens, quals, idxs))
+
+        S = len(self.shard_state)
+        cands = [[None] * S for _ in chunks]
+        for s, st in enumerate(self.shard_state):
+            fm2_s = build_fm2_device(st["fm"])
+            handles = [
+                _shard_cands(
+                    st["fm"], st["ssa"], st["g"], jnp.asarray(cs),
+                    jnp.asarray(cl.astype(np.int32)),
+                    jnp.asarray(cq.astype(np.uint8)),
+                    jnp.asarray(st["own_lo"], jnp.int32),
+                    jnp.asarray(st["own_hi"], jnp.int32),
+                    params=self.params, use_pallas=self.use_pallas,
+                    lut=st["lut"], gwords=st["gw"], fm2=fm2_s)
+                for cs, cl, cq, _r in chunks
+            ]
+            for ci, h in enumerate(handles):
+                cands[ci][s] = jax.device_get(h)
+            del handles, fm2_s  # frees this shard's pair-BWT HBM
+
+        for names, seqs, lens, quals, idxs in batches:
+            results = []
+            for ci in idxs:
+                cs, cl, cq, live = chunks[ci]
+                jr = jnp.asarray(cs)
+                jl = jnp.asarray(cl.astype(np.int32))
+                jq = jnp.asarray(cq.astype(np.uint8))
+                fwd = _sharded_top2(cands[ci], jl, self.params)
+                res, walk = _sharded_walk(
+                    self._gs, self._glens, fwd["win_start"],
+                    fwd["shard"], jr, jl, jq, fwd["strand"],
+                    params=self.params, use_pallas=self.use_pallas)
+                results.extend(self._collect_chunk(
+                    (cs, cl, cq, fwd, walk, live)))
+            yield names, seqs, lens, quals, results
 
     @property
     def _gs(self):
@@ -416,7 +520,8 @@ class ShardedMapper(Mapper):
                        jnp.asarray(st["own_lo"], jnp.int32),
                        jnp.asarray(st["own_hi"], jnp.int32),
                        params=self.params, use_pallas=self.use_pallas,
-                       k=k, lut=st["lut"], gwords=st["gw"])
+                       k=k, lut=st["lut"], gwords=st["gw"],
+                       fm2=st["fm2"])
             for st in self.shard_state
         ]
         fwd = _sharded_all_merge(per_shard, jl, self.params, k=k)
@@ -462,7 +567,7 @@ class PairedShardedMapper(ShardedMapper):
     # borrow the paired orchestration/record layer
     from .paired import PairedMapper as _PM
     map_pairs = _PM.map_pairs
-    map_pairs_stream = _PM.map_pairs_stream
+    _pairs_stream_batch_major = _PM.map_pairs_stream
     _map_pair_chunk = _PM._map_pair_chunk
     to_sam_records_pe = _PM.to_sam_records_pe
     _pe_record = _PM._pe_record
@@ -481,21 +586,18 @@ class PairedShardedMapper(ShardedMapper):
 
     _stage_pair_batch = _PM._stage_pair_batch
 
-    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+    def _shard_pe_outs(self, args, st, fm2):
         from .paired import pe_map_batch
-        R = s1.shape[0]
-        (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
-            s1, l1, q1, s2, l2, q2)
-        shard_outs = [
-            pe_map_batch(
-                st["fm"], st["ssa"], st["g"], *args,
-                params=self.params, use_pallas=self.use_pallas,
-                lut=st["lut"], gwords=st["gw"],
-                span=(jnp.asarray(st["own_lo"], jnp.int32),
-                      jnp.asarray(st["own_hi"], jnp.int32)),
-            )
-            for st in self.shard_state
-        ]
+        return pe_map_batch(
+            st["fm"], st["ssa"], st["g"], *args,
+            params=self.params, use_pallas=self.use_pallas,
+            lut=st["lut"], gwords=st["gw"], fm2=fm2,
+            span=(jnp.asarray(st["own_lo"], jnp.int32),
+                  jnp.asarray(st["own_hi"], jnp.int32)),
+        )
+
+    def _pe_merge_walk(self, staged, shard_outs, R):
+        (s1p, l1p, q1p), (s2p, l2p, q2p), args = staged
         m1, m2, pair = _sharded_pe_merge(
             shard_outs, args[1], args[4], self._rel, params=self.params)
         walks = []
@@ -509,6 +611,47 @@ class PairedShardedMapper(ShardedMapper):
             )
             walks.append((mate, walk))
         return ((s1p, l1p, q1p), (s2p, l2p, q2p), walks, pair, R)
+
+    def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
+        R = s1.shape[0]
+        staged = self._stage_pair_batch(s1, l1, q1, s2, l2, q2)
+        shard_outs = [self._shard_pe_outs(staged[2], st, st["fm2"])
+                      for st in self.shard_state]
+        return self._pe_merge_walk(staged, shard_outs, R)
+
+    def map_pairs_stream(self, packed_iter, depth: int = 2):
+        """PE streaming; fm2_mode="stream" runs shard-major with ONE
+        shard's pair-BWT resident at a time (see ShardedMapper.
+        _map_stream_shard_major — same phase structure and the same
+        bit-identity with the batch-major path, per-mate)."""
+        if self.fm2_mode != "stream":
+            yield from self._pairs_stream_batch_major(packed_iter, depth)
+            return
+        from ..fmindex import build_fm2_device
+
+        batches = []  # (names, bucketed arrays, staged, live rows)
+        for names, s1, l1, q1, s2, l2, q2 in packed_iter:
+            bl = np.concatenate([l1, l2])
+            s1, q1 = self._len_bucket(s1, bl, q1)
+            s2, q2 = self._len_bucket(s2, bl, q2)
+            staged = self._stage_pair_batch(s1, l1, q1, s2, l2, q2)
+            batches.append((names, (s1, l1, q1, s2, l2, q2), staged,
+                            s1.shape[0]))
+
+        S = len(self.shard_state)
+        outs = [[None] * S for _ in batches]
+        for s, st in enumerate(self.shard_state):
+            fm2_s = build_fm2_device(st["fm"])
+            handles = [self._shard_pe_outs(staged[2], st, fm2_s)
+                       for _nm, _arrs, staged, _r in batches]
+            for bi, h in enumerate(handles):
+                outs[bi][s] = jax.device_get(h)
+            del handles, fm2_s
+
+        for bi, (names, arrs, staged, live) in enumerate(batches):
+            handle = self._pe_merge_walk(staged, outs[bi], live)
+            r1, r2, info = self._collect_pair_chunk(handle)
+            yield (names, *arrs, r1, r2, info)
 
     def _collect_pair_chunk(self, handle):
         (p1, p2, walks, pair, R) = handle

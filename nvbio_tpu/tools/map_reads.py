@@ -87,6 +87,12 @@ def main(argv=None):
                    help="restart an interrupted run: skip reads already "
                    "present in the output SAM and append (the batch-"
                    "restartable elastic story; plain .sam only)")
+    p.add_argument("--fm2-mode", default="auto",
+                   choices=["auto", "off", "resident", "stream"],
+                   help="sharded-index 2-step FM-index mode: resident "
+                        "derives a pair-BWT per shard up front; stream "
+                        "holds one shard's pair-BWT at a time and maps "
+                        "shard-major (hg-scale; buffers the input)")
     p.add_argument("--xprof", metavar="DIR",
                    help="write a JAX profiler trace of the mapping loop")
     args = p.parse_args(argv)
@@ -216,7 +222,8 @@ def main(argv=None):
         scls = PairedShardedMapper if args.m1 else ShardedMapper
         mapper = scls(sidx, genome, params=params,
                       contigs=contigs,
-                      use_pallas=False if args.cpu else None)
+                      use_pallas=False if args.cpu else None,
+                      fm2_mode=args.fm2_mode)
     else:
         cls = PairedMapper if args.m1 else Mapper
         mapper = cls(fm, ssa, genome, params=params, contigs=contigs,

@@ -252,3 +252,87 @@ def test_strip_bi_ssa_preserves_locate():
     np.testing.assert_array_equal(
         np.asarray(locate(fm, stripped, rows, k_sample=8)),
         np.asarray(locate(fm, ssa_mono, rows, k_sample=8)))
+
+
+def test_sharded_fm2_modes_bit_identical(setup):
+    """fm2_mode off / resident / stream (shard-major, one pair-BWT
+    resident at a time) produce bit-identical SE results — the 2-step
+    index is an acceleration, never a semantic change."""
+    genome, params, reads, lens, quals, starts = setup
+    sidx = build_sharded_index(genome, shard_bp=60_000, overlap=2048,
+                               sa_sample=16, lut_k=8)
+
+    def run(mode, stream):
+        m = ShardedMapper(sidx, genome, params=params,
+                          use_pallas=False, fm2_mode=mode)
+        assert m.fm2_mode == mode
+        if not stream:
+            return m.map_reads(reads, lens, quals)
+        it = iter([
+            (["a"] * 30, reads[:30], lens[:30], quals[:30]),
+            (["b"] * (len(lens) - 30), reads[30:], lens[30:],
+             quals[30:]),
+        ])
+        out = []
+        for _nm, _sq, _ln, _ql, res in m.map_stream(it):
+            out.extend(res)
+        return out
+
+    base = run("off", False)
+    for mode, stream in (("resident", False), ("off", True),
+                         ("stream", True)):
+        got = run(mode, stream)
+        assert len(got) == len(base)
+        for i, (a, b) in enumerate(zip(base, got)):
+            assert a.aligned == b.aligned, (mode, stream, i)
+            if a.aligned:
+                assert (a.pos, a.strand, a.cigar, a.score, a.mapq,
+                        a.md, a.nm) == \
+                       (b.pos, b.strand, b.cigar, b.score, b.mapq,
+                        b.md, b.nm), (mode, stream, i)
+
+
+def test_sharded_pe_fm2_stream_matches(setup):
+    """PE shard-major fm2 streaming == batch-major (off), per mate and
+    per pair decision."""
+    from nvbio_tpu.models.sharded_mapper import PairedShardedMapper
+    from nvbio_tpu.utils.simulate import simulate_pairs
+
+    genome, _, _, _, _, _ = setup
+    params = MapperParams(batch_size=32, sa_sample=16, max_candidates=8,
+                          lut_k=8, minins=0, maxins=400)
+    sim = simulate_pairs(genome, 32, 100, insert_mean=250, insert_sd=25,
+                         seed=21)
+    s1, s2 = sim["seqs1"], sim["seqs2"]
+    lens = np.full(32, 100, np.int32)
+    q = np.full((32, 100), 35, np.uint8)
+    sidx = build_sharded_index(genome, shard_bp=60_000, overlap=2048,
+                               sa_sample=16, lut_k=8)
+
+    def run(mode):
+        m = PairedShardedMapper(sidx, genome, params=params,
+                                use_pallas=False, fm2_mode=mode)
+        it = iter([
+            (["a"] * 16, s1[:16], lens[:16], q[:16], s2[:16],
+             lens[:16], q[:16]),
+            (["b"] * 16, s1[16:], lens[16:], q[16:], s2[16:],
+             lens[16:], q[16:]),
+        ])
+        r1, r2, info = [], [], []
+        for out in m.map_pairs_stream(it):
+            r1.extend(out[-3])
+            r2.extend(out[-2])
+            info.extend(out[-1])
+        return r1, r2, info
+
+    b1, b2, binfo = run("off")
+    g1, g2, ginfo = run("stream")
+    assert binfo == ginfo
+    for i in range(32):
+        for a, b in ((b1[i], g1[i]), (b2[i], g2[i])):
+            assert a.aligned == b.aligned, i
+            if a.aligned:
+                assert (a.pos, a.strand, a.cigar, a.score, a.mapq,
+                        a.md, a.nm, a.second) == \
+                       (b.pos, b.strand, b.cigar, b.score, b.mapq,
+                        b.md, b.nm, b.second), i
