@@ -112,3 +112,24 @@ def test_large_build_chunked_occ():
     seeds = np.stack([t[s : s + 24] for s in starts]).astype(np.int32)
     lo, hi = backward_search(fm, jnp.asarray(seeds))
     assert bool((np.asarray(hi) > np.asarray(lo)).all())
+
+
+def test_suffix_array_device_mbp_and_repetitive():
+    """Prefix doubling at Mbp scale (many doubling rounds) and on
+    adversarially repetitive text (tandem repeats + homopolymer runs
+    keep ranks tied for ~log(period*copies) rounds) vs host SA-IS."""
+    from nvbio_tpu.sufsort import suffix_array
+
+    rng = np.random.default_rng(44)
+    t = rng.integers(0, 4, 2_000_000).astype(np.uint8)
+    np.testing.assert_array_equal(suffix_array_device(t),
+                                  suffix_array(t))
+    unit = rng.integers(0, 4, 7).astype(np.uint8)
+    t2 = np.concatenate([
+        np.tile(unit, 40_000),          # 280 kb tandem array
+        np.zeros(50_000, np.uint8),     # homopolymer run
+        rng.integers(0, 4, 100_000).astype(np.uint8),
+        np.tile(unit[::-1], 10_000),
+    ])
+    np.testing.assert_array_equal(suffix_array_device(t2),
+                                  suffix_array(t2))
