@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..alignment.types import NEG_INF
 from ..fmindex.index import FMIndex, SSA
+from ..fmindex.fm2 import FM2
 from ..ops.banded_dp import pack_genome_words
 from .mapper import candidate_stage, traceback_walk_windows, PAD
 from .params import MapperParams
@@ -107,11 +108,11 @@ def stack_sharded_index(sidx, genome_np: np.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "use_pallas", "mesh", "ssa_k", "has_lut",
-                     "has_gwords"),
+                     "has_gwords", "has_fm2"),
 )
 def mesh_map_batch(stacked, reads, lens, quals, *, params: MapperParams,
                    use_pallas: bool, mesh: Mesh, ssa_k: int,
-                   has_lut: bool, has_gwords: bool):
+                   has_lut: bool, has_gwords: bool, has_fm2: bool = False):
     """SE forward + traceback walk with one index shard per device.
 
     Output contract == ShardedMapper._dispatch_chunk's (fwd with
@@ -134,9 +135,14 @@ def mesh_map_batch(stacked, reads, lens, quals, *, params: MapperParams,
         g = stk["g"][0]
         lut = ((stk["lut_lo"][0], stk["lut_hi"][0]) if has_lut else None)
         gw = stk["gwords"][0] if has_gwords else None
+        # per-device 2-step index over the LOCAL shard (mono-marked
+        # SSA -> locate2_mono walk), derived in place at init
+        fm2 = (FM2(stk["p2_words"][0], stk["p2_abs"][0],
+                   stk["p2_sub"][0], stk["C2"][0], stk["row_a"][0],
+                   stk["row_b"][0]) if has_fm2 else None)
         c = candidate_stage(fm, ssa, g, reads, lens, quals,
                             params=params, use_pallas=use_pallas,
-                            lut=lut, gwords=gw)
+                            lut=lut, gwords=gw, fm2=fm2)
         ws = c["win_start"]
         sc = jnp.where((ws >= stk["own_lo"][0]) & (ws < stk["own_hi"][0]),
                        c["score"], NEG_INF)
@@ -213,6 +219,39 @@ class MeshShardedMapper(ShardedMapper):
         sh = NamedSharding(mesh, P("shard"))
         self._stacked = {k: jax.device_put(v, sh)
                          for k, v in stacked.items()}
+        # per-device pair-BWT: each chip derives fm2 from ITS shard's
+        # base index in place (build_fm2_device on that device) — at
+        # hg scale one chip holds one shard + its ~3 B/row pair-BWT,
+        # which the sequential single-chip path can only stream
+        self._has_fm2 = bool(self.params.use_fm2)
+        if self._has_fm2:
+            self._stacked.update(self._stack_fm2(sidx, sh))
+
+    def _stack_fm2(self, sidx, sh):
+        from ..fmindex import build_fm2_device
+
+        devs = list(self.mesh.devices.flat)
+        S = len(devs)
+        nb_max = int(self._stacked["bwt_words"].shape[1])
+        keys = ("p2_words", "p2_abs", "p2_sub", "C2", "row_a", "row_b")
+        pieces = {k: [] for k in keys}
+        for s, (fm, *_rest) in enumerate(sidx.shards):
+            fmd = jax.device_put(fm, devs[s])
+            f2 = build_fm2_device(fmd)
+            padb = nb_max - int(f2.pair_words.shape[0])
+            pad0 = lambda a: jnp.pad(
+                a, ((0, padb),) + ((0, 0),) * (a.ndim - 1))
+            pieces["p2_words"].append(pad0(f2.pair_words)[None])
+            pieces["p2_abs"].append(pad0(f2.occ_abs)[None])
+            pieces["p2_sub"].append(pad0(f2.occ_sub)[None])
+            pieces["C2"].append(f2.C2[None])
+            pieces["row_a"].append(f2.row_a.reshape(1))
+            pieces["row_b"].append(f2.row_b.reshape(1))
+        return {
+            k: jax.make_array_from_single_device_arrays(
+                (S,) + ps[0].shape[1:], sh, ps)
+            for k, ps in pieces.items()
+        }
 
     def _dispatch_chunk(self, seqs, lens, quals):
         R = seqs.shape[0]
@@ -223,7 +262,7 @@ class MeshShardedMapper(ShardedMapper):
             jnp.asarray(quals.astype(np.uint8)),
             params=self.params, use_pallas=self.use_pallas,
             mesh=self.mesh, ssa_k=self._ssa_k, has_lut=self._has_lut,
-            has_gwords=self._has_gwords)
+            has_gwords=self._has_gwords, has_fm2=self._has_fm2)
         return (seqs, lens, quals, fwd, walk, R)
 
     def map_reads_all(self, *a, **k):
