@@ -154,6 +154,8 @@ def mesh_map_batch(stacked, reads, lens, quals, *, params: MapperParams,
                            cat(c["p_end"]), lens, params)
         fwd["locate_dropped"] = jax.lax.psum(
             c.get("locate_dropped", jnp.int32(0)), "shard")
+        fwd["overflow"] = jax.lax.psum(
+            c["overflow"].astype(jnp.int32), "shard") > 0
 
         # winner-shard window texts: each device gathers from its own
         # slice; only the winning shard's contribution survives the sum
@@ -253,14 +255,14 @@ class MeshShardedMapper(ShardedMapper):
             for k, ps in pieces.items()
         }
 
-    def _dispatch_chunk(self, seqs, lens, quals):
+    def _dispatch_chunk(self, seqs, lens, quals, params=None):
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         fwd, walk = mesh_map_batch(
             self._stacked, jnp.asarray(seqs),
             jnp.asarray(lens.astype(np.int32)),
             jnp.asarray(quals.astype(np.uint8)),
-            params=self.params, use_pallas=self.use_pallas,
+            params=params or self.params, use_pallas=self.use_pallas,
             mesh=self.mesh, ssa_k=self._ssa_k, has_lut=self._has_lut,
             has_gwords=self._has_gwords, has_fm2=self._has_fm2)
         return (seqs, lens, quals, fwd, walk, R)

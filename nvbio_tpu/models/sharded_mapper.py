@@ -132,6 +132,11 @@ def _sharded_top2(cands, lens, params: MapperParams):
     out = _top2_concat(sc, ws, te, pe, lens, params)
     out["locate_dropped"] = sum(
         c.get("locate_dropped", jnp.int32(0)) for c in cands)
+    # per-read budget-overflow evidence for the escalation round: a
+    # read overflowed if ANY shard's budgets overflowed for it
+    ovf = [c["overflow"] for c in cands if "overflow" in c]
+    if ovf:
+        out["overflow"] = functools.reduce(jnp.logical_or, ovf)
     return out
 
 
@@ -308,6 +313,7 @@ class ShardedMapper(Mapper):
         gp[: self.n] = genome_symbols
         self._genome_np = gp  # GLOBAL host copy (int64 indexing is free)
         self.locate_dropped = 0
+        self.escalated = 0  # reads re-mapped by the escalation round
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -370,7 +376,8 @@ class ShardedMapper(Mapper):
             for st in self.shard_state:
                 st["fm2"] = None
 
-    def _dispatch_chunk(self, seqs, lens, quals):
+    def _dispatch_chunk(self, seqs, lens, quals, params=None):
+        params = params or self.params
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
@@ -380,14 +387,14 @@ class ShardedMapper(Mapper):
             _shard_cands(st["fm"], st["ssa"], st["g"], jr, jl, jq,
                          jnp.asarray(st["own_lo"], jnp.int32),
                          jnp.asarray(st["own_hi"], jnp.int32),
-                         params=self.params, use_pallas=self.use_pallas,
+                         params=params, use_pallas=self.use_pallas,
                          lut=st["lut"], gwords=st["gw"], fm2=st["fm2"])
             for st in self.shard_state
         ]
-        fwd = _sharded_top2(cands, jl, self.params)
+        fwd = _sharded_top2(cands, jl, params)
         res, walk = _sharded_walk(
             self._gs, self._glens, fwd["win_start"], fwd["shard"],
-            jr, jl, jq, fwd["strand"], params=self.params,
+            jr, jl, jq, fwd["strand"], params=params,
             use_pallas=self.use_pallas,
         )
         return (seqs, lens, quals, fwd, walk, R)
@@ -479,8 +486,7 @@ class ShardedMapper(Mapper):
         return tuple(jnp.asarray(st["length"], jnp.int32)
                      for st in self.shard_state)
 
-    def _collect_chunk(self, handle):
-        seqs, lens, quals, fwd, walk, R = handle
+    def _finish_sharded(self, seqs, lens, quals, fwd, walk, R):
         if "locate_dropped" in fwd:
             self.locate_dropped += int(fwd["locate_dropped"])
         shard = np.asarray(fwd["shard"])
@@ -491,6 +497,28 @@ class ShardedMapper(Mapper):
         fwd2["win_start"] = (starts[shard]
                              + np.asarray(fwd["win_start"]).astype(np.int64))
         return self._finish(seqs, lens, quals, fwd2, None, walk)[:R]
+
+    def _collect_chunk(self, handle):
+        seqs, lens, quals, fwd, walk, R = handle
+        results = self._finish_sharded(seqs, lens, quals, fwd, walk, R)
+        # escalation round (ref: best_approx_inl.h rounds loop; same
+        # semantics as Mapper._escalate_chunk): re-map reads whose
+        # budgets overflowed on ANY shard with escalated budgets
+        if (self.ESCALATES and self.params.max_effort > 1
+                and "overflow" in fwd):
+            overflow = np.asarray(fwd["overflow"])[:R]
+            idx = np.flatnonzero(overflow)
+            if idx.size:
+                p2 = self._escalated_params()
+                h2 = self._dispatch_chunk(
+                    seqs[:R][idx], lens[:R][idx],
+                    np.asarray(quals[:R])[idx], params=p2)
+                fin2 = self._finish_sharded(*h2[:5], idx.size)
+                for j, r2 in zip(idx, fin2):
+                    if r2.aligned or not results[j].aligned:
+                        results[j] = r2
+                self.escalated += int(idx.size)
+        return results
 
     def map_reads_all(self, seqs, lens, quals, max_alns: int = 8):
         """--all over a sharded index: per-shard top-k candidate lists

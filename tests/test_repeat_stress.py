@@ -127,3 +127,57 @@ def test_tandem_repeat_locate_budget(repeat_genome):
     res = m.map_reads(packed, lens, quals)
     for r, tp in zip(res, true_pos):
         assert r.aligned and abs(r.pos - tp) <= 2, (r.pos, tp)
+
+
+def test_sharded_escalation_matches_single_index():
+    """Sharded mapping escalates overflowed reads too (overflow is
+    OR-ed across shards), recovering pure-repeat reads exactly like
+    the single-index mapper.  All repeat copies live in ONE shard so
+    per-shard SA ranges overflow like the single index's do (an even
+    spread would divide the copy count below max_range — sharding
+    accidentally *relieves* budget pressure in that case)."""
+    from nvbio_tpu.fmindex.sharded import build_sharded_index
+    from nvbio_tpu.models.sharded_mapper import ShardedMapper
+
+    rng = np.random.default_rng(46)
+    element = rng.integers(0, 4, 400).astype(np.uint8)
+    parts = []
+    for _ in range(120):  # 120 copies, all within the first shard
+        parts.append(element)
+        parts.append(rng.integers(0, 4, 100).astype(np.uint8))
+    parts.append(rng.integers(0, 4, 120_000).astype(np.uint8))
+    genome = np.concatenate(parts)
+    copy_starts = np.arange(120) * 500
+
+    reads = [element[50:150].copy() for _ in range(6)]
+    reads += [genome[70_000:70_100].copy(),
+              genome[130_000:130_100].copy()]
+    packed, lens, quals, _ = _pack(reads)
+    base = dict(batch_size=8, sa_sample=8, max_candidates=8)
+
+    sidx = build_sharded_index(
+        genome, shard_bp=(len(genome) + 2) // 3, overlap=2048,
+        sa_sample=8)
+
+    sh1 = ShardedMapper(sidx, genome,
+                        params=MapperParams(max_effort=1, **base),
+                        use_pallas=False)
+    r1 = sh1.map_reads(packed, lens, quals)
+    assert all(not r.aligned for r in r1[:6])  # lost in round 1
+
+    sh2 = ShardedMapper(sidx, genome,
+                        params=MapperParams(max_effort=2, **base),
+                        use_pallas=False)
+    r2 = sh2.map_reads(packed, lens, quals)
+    assert sh2.escalated >= 6
+    fm, ssa = build_fm_index(genome, sa_sample=8, bi_sample=True)
+    single = Mapper(fm, ssa, genome,
+                    params=MapperParams(max_effort=2, **base))
+    rs = single.map_reads(packed, lens, quals)
+    for i, (a, b) in enumerate(zip(rs, r2)):
+        assert a.aligned == b.aligned, i
+        if a.aligned:
+            assert (a.pos, a.strand, a.cigar, a.score, a.mapq) == \
+                   (b.pos, b.strand, b.cigar, b.score, b.mapq), i
+    for r in r2[:6]:
+        assert r.aligned and r.second == r.score and r.mapq <= 3
