@@ -50,7 +50,7 @@ from ..fmindex import (FMIndex, SSA, backward_search, locate,
                        build_fm2)
 from ..ops.banded_dp import (banded_score_pallas,
                              banded_score_pallas_packed,
-                             pack_genome_words)
+                             pack_genome_words, window_slices)
 from ..strings.seeds import extract_uniform_seeds, num_uniform_seeds
 from ..basic.alphabet import dna_to_char
 from ..io.sam import SamRecord, FLAG_UNMAPPED, FLAG_REVERSE
@@ -554,8 +554,9 @@ def traceback_walk_batch(
     """
     L = reads.shape[1]
     LT = L + 2 * params.band_w
-    gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
-    texts = genome[gidx]
+    # one slice per lane (genome carries lt_pad tail PAD), not LT
+    # gather indices per lane — see ops.banded_dp.window_slices
+    texts = window_slices(genome, win_start, LT)
     tlens = jnp.clip(n - win_start, 0, LT)
     return traceback_walk_windows(texts, tlens, reads, lens, quals,
                                   strand, params=params,

@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..alignment.types import NEG_INF
 from ..fmindex.index import FMIndex, SSA
 from ..fmindex.fm2 import FM2
-from ..ops.banded_dp import pack_genome_words
+from ..ops.banded_dp import pack_genome_words, window_slices
 from .mapper import candidate_stage, traceback_walk_windows, PAD
 from .params import MapperParams
 from .sharded_mapper import ShardedMapper, _top2_concat
@@ -160,7 +160,7 @@ def mesh_map_batch(stacked, reads, lens, quals, *, params: MapperParams,
         # winner-shard window texts: each device gathers from its own
         # slice; only the winning shard's contribution survives the sum
         wsc = jnp.clip(fwd["win_start"], 0, fm.n - 1)
-        t_s = g[wsc[:, None] + jnp.arange(LT, dtype=jnp.int32)]
+        t_s = window_slices(g, wsc, LT)  # one slice per lane
         tl_s = jnp.clip(fm.n - wsc, 0, LT)
         mine = fwd["shard"] == s
         texts = jax.lax.psum(

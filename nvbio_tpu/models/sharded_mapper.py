@@ -30,7 +30,7 @@ from ..alignment.types import NEG_INF
 from .mapper import (Mapper, MapResult, candidate_stage,
                      traceback_walk_windows, _score_min, _score_perfect,
                      PAD)
-from ..ops.banded_dp import pack_genome_words
+from ..ops.banded_dp import pack_genome_words, window_slices
 from .mapq import mapq_v2
 from .params import MapperParams
 
@@ -44,11 +44,10 @@ def _sharded_walk(gs, lengths, ws, shard, reads, lens, quals, strand, *,
     walks with host-side selection (S x the device work)."""
     L = reads.shape[1]
     LT = L + 2 * params.band_w
-    ar = jnp.arange(LT, dtype=jnp.int32)
     texts = tlens = None
     for s in range(len(gs)):
         wsc = jnp.clip(ws, 0, lengths[s] - 1)
-        t_s = gs[s][wsc[:, None] + ar]
+        t_s = window_slices(gs[s], wsc, LT)  # one slice per lane
         tl_s = jnp.clip(lengths[s] - wsc, 0, LT)
         if texts is None:
             texts, tlens = t_s, tl_s

@@ -568,9 +568,17 @@ def banded_score_pallas_packed(
     base = ws >> 4
     off_t = (ws & 15)[None, :]
     n_words = packed.shape[0]
-    widx = jnp.clip(base[None, :] + jnp.arange(NWP, dtype=jnp.int32)[:, None],
-                    0, n_words - 1)
-    wtext_t = packed[widx]  # (NWP, nb_pad) — THE gather, 16x smaller
+    if NWP <= PACK_TAIL_WORDS:
+        # one slice per lane (pack_genome_words' tail pad guarantees
+        # in-genome starts never clamp): nb_pad gather indices instead
+        # of nb_pad * NWP
+        wtext_t = window_slices(
+            packed, jnp.clip(base, 0, n_words - NWP), NWP).T
+    else:  # pathological band: fall back to the element gather
+        widx = jnp.clip(
+            base[None, :] + jnp.arange(NWP, dtype=jnp.int32)[:, None],
+            0, n_words - 1)
+        wtext_t = packed[widx]
     plens_t = prep(plens[:, None], 0).T
     tlens_t = prep(tlens[:, None], 0).T
 
@@ -698,11 +706,19 @@ def banded_directions_pallas(
     return res, dirs.T[:NB], BAND_PAD
 
 
+#: tail words appended by pack_genome_words: lets the window fetch be
+#: one dynamic_slice per lane (never start-clamped) instead of a
+#: per-element gather — see window_slices
+PACK_TAIL_WORDS = 256
+
+
 def pack_genome_words(symbols) -> "jnp.ndarray":
     """2-bit pack genome symbols (values 0..3; N already substituted at
     build time, ref: nvBWT) into int32 words, 16 symbols each, for
-    banded_score_pallas_packed.  Out-of-genome padding packs as 3 —
-    callers mask validity via tlens (the kernel sentinels j >= tlen)."""
+    banded_score_pallas_packed.  Out-of-genome padding packs as 0 —
+    callers mask validity via tlens (the kernel sentinels j >= tlen).
+    PACK_TAIL_WORDS zero words are appended so per-lane window slices
+    (window_slices) never clamp for any in-genome window start."""
     import numpy as _np
     s = _np.asarray(symbols)
     n = s.shape[0]
@@ -717,10 +733,24 @@ def pack_genome_words(symbols) -> "jnp.ndarray":
     s16 = _np.zeros(nw * 16, _np.uint32)
     s16[:n] = s[:n].astype(_np.uint32)
     s16 = s16.reshape(nw, 16)
-    w = _np.zeros(nw, _np.uint32)
+    w = _np.zeros(nw + PACK_TAIL_WORDS, _np.uint32)
     for r in range(16):
-        w |= s16[:, r] << _np.uint32(2 * r)
+        w[:nw] |= s16[:, r] << _np.uint32(2 * r)
     return jnp.asarray(w.view(_np.int32))
+
+
+def window_slices(arr, starts, width: int):
+    """Per-lane contiguous windows ``arr[s : s + width]`` fetched as
+    ONE slice-level gather (vmapped dynamic_slice: XLA gather with
+    slice_sizes=(width,), one index per LANE).  The TPU lowers
+    per-element gathers to ~per-index work, so
+    ``arr[starts[:, None] + arange(width)]`` costs rows*width index
+    lookups — this form costs rows (the extension stage's window fetch
+    was its dominant cost).  Starts are clamped to [0, len - width] by
+    dynamic_slice semantics; callers guarantee a tail pad (genome
+    lt_pad / PACK_TAIL_WORDS) so no live lane ever clamps."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(arr, (s,), (width,)))(starts)
 
 
 @functools.partial(
