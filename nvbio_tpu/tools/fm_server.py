@@ -138,11 +138,27 @@ def serve(index_path, sock_path, batch=4096, max_read_len=320,
     from ..models.paired import PairedMapper
 
     t0 = time.time()
-    fm, ssa, genome, meta = load_index(index_path)
-    # force the upload NOW (load_index produces device arrays lazily
-    # materialized; block so attach time is honest and requests are hot)
-    jax.block_until_ready(jax.tree.map(
-        lambda x: x, (fm, ssa, meta.get("lut"))))
+    prefix = index_path
+    for suf in (".npz", ".manifest.json"):
+        if prefix.endswith(suf):
+            prefix = prefix[: -len(suf)]
+    sharded = os.path.exists(prefix + ".manifest.json") and not (
+        index_path.endswith(".npz") and os.path.exists(index_path))
+    if sharded:
+        from ..fmindex.sharded import load_sharded_index
+
+        sidx, genome, man = load_sharded_index(prefix)
+        meta = {"sa_sample": man["sa_sample"], "lut_k": man["lut_k"],
+                "contig_names": man["contig_names"],
+                "contig_lens": man["contig_lens"]}
+        fm = ssa = None
+    else:
+        fm, ssa, genome, meta = load_index(index_path)
+        # force the upload NOW (load_index produces device arrays
+        # lazily materialized; block so attach time is honest and
+        # requests are hot)
+        jax.block_until_ready(jax.tree.map(
+            lambda x: x, (fm, ssa, meta.get("lut"))))
     params = MapperParams(batch_size=batch, sa_sample=meta["sa_sample"],
                           lut_k=meta.get("lut_k", 0),
                           max_read_len=max_read_len)
@@ -165,6 +181,21 @@ def serve(index_path, sock_path, batch=4096, max_read_len=320,
                                contigs=contigs, lut=meta.get("lut"),
                                use_pallas=False if cpu else None)
         return mappers[cls]
+
+    if sharded:
+        # sharded (hg-scale) indexes: the daemon is where the
+        # device-resident shards + fm2 + warm jits pay off most
+        from ..models.sharded_mapper import (ShardedMapper,
+                                             PairedShardedMapper)
+
+        def get_mapper(cls):  # noqa: F811
+            scls = (PairedShardedMapper if cls is PairedMapper
+                    else ShardedMapper)
+            if scls not in mappers:
+                mappers[scls] = scls(sidx, genome, params=params,
+                                     contigs=contigs,
+                                     use_pallas=False if cpu else None)
+            return mappers[scls]
 
     state["se_mapper"] = lambda: get_mapper(Mapper)
     state["pe_mapper"] = lambda: get_mapper(PairedMapper)

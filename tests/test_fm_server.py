@@ -100,3 +100,49 @@ def test_bad_request_keeps_server_alive(served):
                                  "sam": str(d / "bad.sam")})
     assert r["status"] == "error"
     assert fm_server.request(sock, {"cmd": "ping"})["status"] == "ok"
+
+
+def test_sharded_index_served(tmp_path):
+    """The daemon serves sharded (hg-scale layout) indexes too —
+    resident shards + warm jits, same outputs as a direct map_reads
+    run."""
+    import subprocess
+    import sys as _sys
+    from nvbio_tpu.tools.build_index import main as build
+    from nvbio_tpu.tools import fm_server
+
+    g = random_genome(150_000, seed=63)
+    write_fasta(tmp_path / "g.fa", [("chr1", g)])
+    sim = simulate_reads(g, 48, 100, seed=64, error_rate=0.01)
+    write_fastq(tmp_path / "r.fq", [
+        (f"s{i}", sim["seqs"][i].astype(np.uint8), sim["quals"][i])
+        for i in range(48)])
+    assert build([str(tmp_path / "g.fa"), str(tmp_path / "g.npz"),
+                  "--sa-sample", "16", "--shard-bp", "60000"]) == 0
+    sock = str(tmp_path / "fm.sock")
+    t = threading.Thread(
+        target=fm_server.serve,
+        args=(str(tmp_path / "g"), sock),
+        kwargs=dict(batch=48, max_read_len=128, cpu=True, once=True),
+        daemon=True)
+    t.start()
+    for _ in range(300):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.1)
+    else:
+        raise RuntimeError("server socket never appeared")
+    r = fm_server.request(sock, {"cmd": "map", "u": str(tmp_path / "r.fq"),
+                                 "sam": str(tmp_path / "o.sam")},
+                          timeout=600)
+    assert r["status"] == "ok" and r["reads"] == 48
+    t.join(timeout=60)
+    ok = 0
+    for line in open(tmp_path / "o.sam"):
+        if line.startswith("@"):
+            continue
+        c = line.split("\t")
+        if not int(c[1]) & 4 and \
+                abs(int(c[3]) - 1 - sim["true_pos"][int(c[0][1:])]) <= 8:
+            ok += 1
+    assert ok >= 44
