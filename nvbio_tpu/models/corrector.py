@@ -124,10 +124,22 @@ class Corrector(NamedTuple):
         return Corrector(bf=bf, k=k)
 
     def correct(self, reads, lens, min_support: int = 2,
-                min_count: int = 3):
-        out, ncorr = error_correct(
-            self.bf, jnp.asarray(reads),
-            jnp.asarray(np.asarray(lens).astype(np.int32)),
-            k=self.k, min_support=min_support, min_count=min_count,
-        )
-        return np.asarray(out), np.asarray(ncorr)
+                min_count: int = 3, rounds: int = 1):
+        """`rounds` > 1 re-runs the vectorized sweep on the corrected
+        output — the fixed-shape analog of Lighter's greedy loop
+        continuing along the read: each round can fix one more error
+        per k-window (a 2nd error inside the same window leaves no
+        trusted covering k-mer for round 1 to gain from)."""
+        out = jnp.asarray(reads)
+        jl = jnp.asarray(np.asarray(lens).astype(np.int32))
+        ncorr = np.zeros(out.shape[0], np.int32)
+        for _ in range(max(rounds, 1)):
+            out, nc = error_correct(
+                self.bf, out, jl, k=self.k,
+                min_support=min_support, min_count=min_count,
+            )
+            nc = np.asarray(nc)
+            ncorr += nc
+            if not nc.any():
+                break
+        return np.asarray(out), ncorr

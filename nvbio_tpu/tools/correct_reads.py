@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--log2-slots", type=int, default=24,
                    help="count-min sketch size (2^n slots)")
     p.add_argument("--min-count", type=int, default=3)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="correction sweeps (>1 fixes multi-error "
+                        "k-windows, ref: Lighter's greedy loop)")
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--max-read-len", type=int, default=320)
     args = p.parse_args(argv)
@@ -43,7 +46,8 @@ def main(argv=None):
     total = fixed = 0
     for names, reads, lens, qmat in batches:
         creads, ncorr = corr.correct(reads, lens,
-                                     min_count=args.min_count)
+                                     min_count=args.min_count,
+                                     rounds=args.rounds)
         total += len(names)
         fixed += int(ncorr.sum())
         for i, nm in enumerate(names):
