@@ -9,3 +9,17 @@
 
 Run as ``python -m nvbio_tpu.tools.<name> --help``.
 """
+
+
+def add_cpu_flag(p):
+    """--cpu for device-compute tools: force the XLA/CPU platform
+    BEFORE any jax use (the environment may force-select a TPU whose
+    tunnel can stall; map_reads/mem_map/qmap already carry this)."""
+    p.add_argument("--cpu", action="store_true",
+                   help="force the XLA/CPU platform (skip the TPU)")
+
+
+def maybe_cpu(args):
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")

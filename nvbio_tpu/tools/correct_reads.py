@@ -25,7 +25,10 @@ def main(argv=None):
                         "k-windows, ref: Lighter's greedy loop)")
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--max-read-len", type=int, default=320)
+    from . import add_cpu_flag, maybe_cpu
+    add_cpu_flag(p)
     args = p.parse_args(argv)
+    maybe_cpu(args)
 
     from ..io.fastq import FastqBatchReader, write_fastq
     from ..strings import pack_reads

@@ -20,7 +20,10 @@ def main(argv=None):
     p.add_argument("-o", "--out", default="-", help="output TSV (- = stdout)")
     p.add_argument("--gap-open", type=int, default=10)
     p.add_argument("--gap-extend", type=int, default=1)
+    from . import add_cpu_flag, maybe_cpu
+    add_cpu_flag(p)
     args = p.parse_args(argv)
+    maybe_cpu(args)
 
     import numpy as np
     import jax.numpy as jnp

@@ -25,7 +25,10 @@ def main(argv=None):
     p.add_argument("output", help="output BWT (.npy of uint8 symbols, "
                    "or .txt for ACGT$ text)")
     p.add_argument("--max-len", type=int, default=256)
+    from . import add_cpu_flag, maybe_cpu
+    add_cpu_flag(p)
     args = p.parse_args(argv)
+    maybe_cpu(args)
 
     from ..io.fastq import read_fastq_packed
     from ..sufsort import set_bwt_device

@@ -22,7 +22,10 @@ def main(argv=None):
     p.add_argument("--read-len", type=int, default=100)
     p.add_argument("--band", type=int, default=15)
     p.add_argument("--iters", type=int, default=3)
+    from . import add_cpu_flag, maybe_cpu
+    add_cpu_flag(p)
     args = p.parse_args(argv)
+    maybe_cpu(args)
 
     from ..utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
