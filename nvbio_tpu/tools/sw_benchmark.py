@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("--read-len", type=int, default=100)
     p.add_argument("--band", type=int, default=15)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--long", action="store_true",
+                   help="also bench the long-read tiers (row-blocked "
+                        "kernel, wide-band wavefront, two-pass CIGAR)")
+    p.add_argument("--long-len", type=int, default=10_000)
+    p.add_argument("--wide-band", type=int, default=2000)
     from . import add_cpu_flag, maybe_cpu
     add_cpu_flag(p)
     args = p.parse_args(argv)
@@ -114,6 +119,81 @@ def main(argv=None):
         # long-read row-blocked kernel is the dispatch target past 512
         print("(gotoh rows above used ops/long_dp.py — patterns beyond"
               " the resident-kernel VMEM reach)", file=sys.stderr)
+
+    if args.long:
+        # ---- long-read tier: row-blocked kernel, wide-band wavefront,
+        # and the two-pass wide-band CIGAR (alignment/wide.py) ----
+        from ..alignment.wide import wide_band_cigar_batch
+
+        LPL = args.long_len
+        WL = max(args.band, 63)
+        NBL = (1 << 10) if on_tpu else 4
+        ltexts = rng.integers(0, 4, (NBL, LPL + 2 * WL)).astype(np.int8)
+        lpats = rng.integers(0, 4, (NBL, LPL)).astype(np.int8)
+        ltexts[:, WL : WL + LPL] = lpats
+        larr = tuple(map(jnp.asarray, (
+            lpats, np.full(NBL, LPL, np.int32), ltexts,
+            np.full(NBL, LPL + 2 * WL, np.int32))))
+        eng = banded_score_pallas if on_tpu else banded_score_batch
+        fl = jax.jit(lambda *a: eng(
+            *a, scheme=GotohScheme(), atype=AlignmentType.SEMI_GLOBAL,
+            band_w=WL)["score"])
+        np.asarray(fl(*larr))
+        t0 = time.time()
+        for _ in range(args.iters):
+            np.asarray(fl(*larr))
+        dt = (time.time() - t0) / args.iters
+        gcups = NBL * LPL * (2 * WL + 1) / dt / 1e9
+        rows.append({"aligner": f"gotoh_long_{LPL}", "engine":
+                     "row_blocked" if on_tpu else "xla",
+                     "gcups": round(gcups, 2), "ms": round(dt * 1e3, 2)})
+        print(f"{'gotoh_long_' + str(LPL):20s} {'rowblk':8s} "
+              f"{gcups:8.2f} GCUPS ({dt*1e3:.1f} ms)", file=sys.stderr)
+
+        WW = args.wide_band
+        NBW = 128 if on_tpu else 2
+        LPW = min(LPL, 4000)
+        wtexts = rng.integers(0, 4, (NBW, LPW + 2 * WW)).astype(np.int8)
+        wpats = rng.integers(0, 4, (NBW, LPW)).astype(np.int8)
+        off = rng.integers(0, WW, NBW)
+        for b in range(NBW):
+            wtexts[b, off[b] : off[b] + LPW] = wpats[b]
+        wp = (wpats, np.full(NBW, LPW, np.int32), wtexts,
+              np.full(NBW, LPW + 2 * WW, np.int32))
+        if on_tpu:  # wavefront kernel is TPU-only (interpret too slow)
+            from ..ops.long_dp import banded_score_long_pallas
+
+            fw = jax.jit(lambda *a: banded_score_long_pallas(
+                *a, scheme=GotohScheme(),
+                atype=AlignmentType.SEMI_GLOBAL, band_w=WW)["score"])
+            warr = tuple(map(jnp.asarray, wp))
+            np.asarray(fw(*warr))
+            t0 = time.time()
+            for _ in range(args.iters):
+                np.asarray(fw(*warr))
+            dt = (time.time() - t0) / args.iters
+            gcups = NBW * LPW * (2 * WW + 1) / dt / 1e9
+            rows.append({"aligner": f"gotoh_wide_{WW}",
+                         "engine": "wavefront",
+                         "gcups": round(gcups, 2),
+                         "ms": round(dt * 1e3, 2)})
+            print(f"{'gotoh_wide_' + str(WW):20s} {'wavefrt':8s} "
+                  f"{gcups:8.2f} GCUPS ({dt*1e3:.1f} ms)",
+                  file=sys.stderr)
+
+        t0 = time.time()
+        out = wide_band_cigar_batch(
+            *wp, scheme=GotohScheme(), atype=AlignmentType.SEMI_GLOBAL,
+            band_w=WW, use_pallas=on_tpu)
+        dt = time.time() - t0
+        n_cig = int(out["tb_ok"].sum())
+        rows.append({"aligner": f"wide_cigar_{WW}", "engine": "two_pass",
+                     "alignments_per_s": round(NBW / dt, 1),
+                     "cigars": n_cig, "ms": round(dt * 1e3, 2)})
+        print(f"{'wide_cigar_' + str(WW):20s} {'2pass':8s} "
+              f"{NBW/dt:8.1f} aln/s ({dt*1e3:.1f} ms cold, "
+              f"{n_cig}/{NBW} CIGARs)", file=sys.stderr)
+
     print(json.dumps(rows))
     return 0
 
