@@ -38,6 +38,7 @@ mapper those are discards anyway.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .types import AlignmentType, GotohScheme, NEG_INF, gap_penalties
@@ -50,7 +51,7 @@ TB_BANDS = (31, 63, 127, 255, 511, 767)
 PAD_SYMBOL = 7
 
 
-def derive_tb_band(plens, scores, p_end, t_end, scheme):
+def derive_tb_band(plens, scores, p_end, t_end, scheme, band_w):
     """Per-alignment exact traceback certificate (host NumPy).
 
     Indel budget ``g`` from the score gap bounds the optimal path's
@@ -61,17 +62,30 @@ def derive_tb_band(plens, scores, p_end, t_end, scheme):
     forces ``off <= d_end - g`` (clipped at 0), and covering the
     diagonal span from there costs ``B2 >= (d_end + g) - off``.
 
+    The indel-budget certificate needs ``min(ee, fe) >= 1`` (a
+    zero-cost gap extension unbinds run lengths from the score); the
+    fallback certificate — always valid — is the ORIGINAL window
+    itself: with ``off = 0`` and ``B2 = band_w`` pass 2's geometry
+    equals pass 1's, so ``need`` is capped at ``band_w`` per lane.
+
     Returns ``(need, off)``: the minimal band and the window start.
     """
     plens = np.asarray(plens, np.int64)
     scores = np.asarray(scores, np.int64)
     d_end = np.asarray(t_end, np.int64) - np.asarray(p_end, np.int64)
     eo, ee, fo, fe = gap_penalties(scheme)
+    min_ext = min(ee, fe)
+    if min_ext < 1:  # score does not bound indel runs: original band
+        n = len(plens)
+        return (np.full(n, band_w, np.int64), np.zeros(n, np.int64))
     perfect = plens * scheme.match
     gap = np.maximum(perfect - scores - min(eo, fo), 0)
-    g = gap // max(min(ee, fe), 1)
+    g = gap // min_ext
     off = np.maximum(d_end - g, 0)
     need = np.maximum(d_end + g - off, off - (d_end - g))
+    cert_wins = need < band_w
+    need = np.where(cert_wins, need, band_w)
+    off = np.where(cert_wins, off, 0)
     return need.astype(np.int64), off.astype(np.int64)
 
 
@@ -106,6 +120,10 @@ def wide_band_cigar_batch(
     ``tb_band`` (the band certificate used).
     """
     NB, Lp = patterns.shape
+    # bands past the ladder cannot be walked (row-blocked dirs kernel
+    # VMEM reach) — clamp so such lanes report tb_ok=False instead of
+    # failing at kernel compile
+    max_tb_band = min(max_tb_band, TB_BANDS[-1])
     patterns = jnp.asarray(patterns)
     texts = jnp.asarray(texts)
     plens_j = jnp.asarray(plens, jnp.int32)
@@ -133,7 +151,8 @@ def wide_band_cigar_batch(
 
     # ---- derive + quantize the traceback band ----
     valid = score > NEG_INF // 2
-    need, off = derive_tb_band(plens, score, p_end, t_end, scheme)
+    need, off = derive_tb_band(plens, score, p_end, t_end, scheme,
+                                band_w)
     tb_ok = valid & (need <= max_tb_band)
     need_max = int(need[tb_ok].max()) if tb_ok.any() else TB_BANDS[0]
     B2 = _quantize_band(min(need_max, max_tb_band)) or max_tb_band
@@ -158,11 +177,15 @@ def wide_band_cigar_batch(
     LT2 = Lp + 2 * B2
     Lt = texts.shape[1]
     off_j = jnp.asarray(off, jnp.int32)
-    gidx = off_j[:, None] + jnp.arange(LT2, dtype=jnp.int32)[None, :]
-    texts2 = jnp.where(gidx < Lt,
-                       jnp.take_along_axis(
-                           texts, jnp.minimum(gidx, Lt - 1), axis=1),
-                       PAD_SYMBOL)
+    # one slice per lane, not LT2 gather indices per lane (the same
+    # slice-level fetch as ops.banded_dp.window_slices); the PAD tail
+    # keeps beyond-tlen symbols inert exactly like the old per-element
+    # clamp + where did
+    texts_p = jnp.pad(texts, ((0, 0), (0, LT2)),
+                      constant_values=PAD_SYMBOL)
+    texts2 = jax.vmap(
+        lambda t, s: jax.lax.dynamic_slice(t, (s,), (LT2,)))(
+            texts_p, off_j)
     tlens2 = jnp.clip(tlens_j - off_j, 0, LT2)
 
     if use_pallas:
@@ -191,9 +214,14 @@ def wide_band_cigar_batch(
     score2 = np.asarray(res2["score"]).astype(np.int64)
     # the band certificate guarantees pass 2 recovers pass 1's optimum
     # (its window contains an optimal path end-to-end); a higher pass-2
-    # score is equally legitimate (a better path within the recentered
-    # band) and is what the emitted CIGAR attains — report it.
-    out["score"] = np.where(tb_ok, np.maximum(score, score2), score)
+    # score is equally legitimate (a better path within the
+    # re-positioned band) and is what the emitted CIGAR attains.  A
+    # LOWER pass-2 score would mean the certificate was violated — the
+    # guard demotes such lanes to the tb_ok=False contract (score/ends
+    # from pass 1, no CIGAR) instead of reporting a score the CIGAR
+    # cannot attain.
+    tb_ok = out["tb_ok"] = tb_ok & (score2 >= score)
+    out["score"] = np.where(tb_ok, score2, score)
     p_end2 = np.asarray(res2["p_end"]).astype(np.int64)
     t_end2 = np.asarray(res2["t_end"]).astype(np.int64) + off
     out["p_end"] = np.where(tb_ok, p_end2, p_end)

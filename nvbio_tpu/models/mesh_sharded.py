@@ -66,36 +66,38 @@ def stack_sharded_index(sidx, genome_np: np.ndarray,
     S = len(fms)
 
     def pad_stack(arrs, fill=0):
+        # HOST arrays: the caller places each shard's slice directly
+        # on its own device (one upload, no staging copy on device 0)
         arrs = [np.asarray(a) for a in arrs]
         m = max(a.shape[0] for a in arrs)
         out = np.full((S, m) + arrs[0].shape[1:], fill, arrs[0].dtype)
         for i, a in enumerate(arrs):
             out[i, : a.shape[0]] = a
-        return jnp.asarray(out)
+        return out
 
     stacked = {
         "bwt_words": pad_stack([f.bwt_words for f in fms]),
         "occ_abs": pad_stack([f.occ_abs for f in fms]),
         "occ_sub": pad_stack([f.occ_sub for f in fms]),
-        "C": jnp.stack([jnp.asarray(f.C) for f in fms]),
-        "primary": jnp.asarray([int(f.primary) for f in fms], jnp.int32),
-        "n": jnp.asarray([int(f.n) for f in fms], jnp.int32),
+        "C": np.stack([np.asarray(f.C) for f in fms]),
+        "primary": np.asarray([int(f.primary) for f in fms], np.int32),
+        "n": np.asarray([int(f.n) for f in fms], np.int32),
         "mark_words": pad_stack([s.mark_words for s in ssas]),
         "mark_abs": pad_stack([s.mark_abs for s in ssas]),
         "vals": pad_stack([s.vals for s in ssas]),
         "g": pad_stack(
             [gp[st : st + ln + lt_pad] for st, ln in zip(starts, lengths)],
             fill=PAD),
-        "own_lo": jnp.asarray(
-            [0 if i == 0 else 1 for i in range(S)], jnp.int32),
-        "own_hi": jnp.asarray(
+        "own_lo": np.asarray(
+            [0 if i == 0 else 1 for i in range(S)], np.int32),
+        "own_hi": np.asarray(
             [(starts[i + 1] if i + 1 < S else n) - starts[i] + 1
-             for i in range(S)], jnp.int32),
+             for i in range(S)], np.int32),
     }
     has_lut = all(l is not None for l in luts)
     if has_lut:
-        stacked["lut_lo"] = jnp.stack([jnp.asarray(l[0]) for l in luts])
-        stacked["lut_hi"] = jnp.stack([jnp.asarray(l[1]) for l in luts])
+        stacked["lut_lo"] = np.stack([np.asarray(l[0]) for l in luts])
+        stacked["lut_hi"] = np.stack([np.asarray(l[1]) for l in luts])
     has_gwords = bool(use_pallas)
     if has_gwords:
         stacked["gwords"] = pad_stack(
@@ -219,33 +221,44 @@ class MeshShardedMapper(ShardedMapper):
             stack_sharded_index(sidx, np.asarray(genome_symbols),
                                 self.params, self.use_pallas)
         sh = NamedSharding(mesh, P("shard"))
-        self._stacked = {k: jax.device_put(v, sh)
-                         for k, v in stacked.items()}
-        # per-device pair-BWT: each chip derives fm2 from ITS shard's
-        # base index in place (build_fm2_device on that device) — at
-        # hg scale one chip holds one shard + its ~3 B/row pair-BWT,
-        # which the sequential single-chip path can only stream
+        devs = list(mesh.devices.flat)
+        # place each shard's slice DIRECTLY on its device (one upload),
+        # then assemble the (S, ...) sharded arrays from the pieces
+        per_shard = [dict() for _ in devs]
+        self._stacked = {}
+        for k, v in stacked.items():
+            pieces = [jax.device_put(v[s : s + 1], devs[s])
+                      for s in range(len(devs))]
+            self._stacked[k] = jax.make_array_from_single_device_arrays(
+                v.shape, sh, pieces)
+            for s, pc in enumerate(pieces):
+                per_shard[s][k] = pc
+        # per-device pair-BWT: each chip derives fm2 from ITS resident
+        # shard piece in place (build_fm2_device; nothing is uploaded)
+        # — at hg scale one chip holds one shard + its ~3 B/row
+        # pair-BWT, which the sequential single-chip path can only
+        # stream
         self._has_fm2 = bool(self.params.use_fm2)
         if self._has_fm2:
-            self._stacked.update(self._stack_fm2(sidx, sh))
+            self._stacked.update(self._stack_fm2(per_shard, sh))
 
-    def _stack_fm2(self, sidx, sh):
+    def _stack_fm2(self, per_shard, sh):
         from ..fmindex import build_fm2_device
 
-        devs = list(self.mesh.devices.flat)
-        S = len(devs)
-        nb_max = int(self._stacked["bwt_words"].shape[1])
+        S = len(per_shard)
         keys = ("p2_words", "p2_abs", "p2_sub", "C2", "row_a", "row_b")
         pieces = {k: [] for k in keys}
-        for s, (fm, *_rest) in enumerate(sidx.shards):
-            fmd = jax.device_put(fm, devs[s])
-            f2 = build_fm2_device(fmd)
-            padb = nb_max - int(f2.pair_words.shape[0])
-            pad0 = lambda a: jnp.pad(
-                a, ((0, padb),) + ((0, 0),) * (a.ndim - 1))
-            pieces["p2_words"].append(pad0(f2.pair_words)[None])
-            pieces["p2_abs"].append(pad0(f2.occ_abs)[None])
-            pieces["p2_sub"].append(pad0(f2.occ_sub)[None])
+        for ps in per_shard:
+            # FMIndex view of this device's resident piece (leading
+            # shard axis stripped; block padding past the true n is
+            # inert — rows are bounded by the shard's own n)
+            fm = FMIndex(ps["bwt_words"][0], ps["occ_abs"][0],
+                         ps["occ_sub"][0], ps["C"][0], ps["primary"][0],
+                         ps["n"][0])
+            f2 = build_fm2_device(fm)
+            pieces["p2_words"].append(f2.pair_words[None])
+            pieces["p2_abs"].append(f2.occ_abs[None])
+            pieces["p2_sub"].append(f2.occ_sub[None])
             pieces["C2"].append(f2.C2[None])
             pieces["row_a"].append(f2.row_a.reshape(1))
             pieces["row_b"].append(f2.row_b.reshape(1))

@@ -512,6 +512,10 @@ class ShardedMapper(Mapper):
                 h2 = self._dispatch_chunk(
                     seqs[:R][idx], lens[:R][idx],
                     np.asarray(quals[:R])[idx], params=p2)
+                # round-2 locate drops are NOT accumulated (matches
+                # Mapper._escalate_chunk: the stat counts round-1
+                # pressure once per read)
+                h2[3].pop("locate_dropped", None)
                 fin2 = self._finish_sharded(*h2[:5], idx.size)
                 for j, r2 in zip(idx, fin2):
                     if r2.aligned or not results[j].aligned:

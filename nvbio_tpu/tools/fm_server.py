@@ -197,6 +197,14 @@ def serve(index_path, sock_path, batch=4096, max_read_len=320,
                                      use_pallas=False if cpu else None)
             return mappers[scls]
 
+        # warm the SE mapper NOW: shard upload + resident pair-BWT
+        # derivation are exactly the cold start the daemon exists to
+        # hide (same contract as the monolithic block_until_ready)
+        m = get_mapper(Mapper)
+        jax.block_until_ready([
+            (st["fm"], st["ssa"], st["g"], st["fm2"])
+            for st in m.shard_state])
+
     state["se_mapper"] = lambda: get_mapper(Mapper)
     state["pe_mapper"] = lambda: get_mapper(PairedMapper)
     state["attach_seconds"] = round(time.time() - t0, 3)

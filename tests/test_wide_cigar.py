@@ -150,7 +150,8 @@ def test_derive_band_certificate():
                              jp(quals), **kw)
     need, _off = derive_tb_band(plens, np.asarray(ref["score"]),
                                 np.asarray(ref["p_end"]),
-                                np.asarray(ref["t_end"]), scheme)
+                                np.asarray(ref["t_end"]), scheme,
+                                band_w)
     # indel budget certificate holds and is far below the wide band
     assert (need < band_w).all()
     out = wide_band_cigar_batch(pats, plens, texts, tlens, quals,
@@ -178,3 +179,36 @@ def test_wide_cigar_garbage_lane_flagged():
     assert not out["tb_ok"][1]
     s, i_end, j_end = _rescore_runs(out, 0, pats, texts, quals, scheme)
     assert s == int(out["score"][0])
+
+
+def test_zero_extend_scheme_uses_original_band():
+    """gap_extend == 0 voids the indel-budget certificate (run length
+    is score-free); the fallback certificate is the original window
+    itself, so the CIGAR must still re-score to the reported optimum.
+    Planted: a long free deletion far from the end diagonal."""
+    scheme = GotohScheme(gap_open=5, gap_extend=0,
+                         ref_gap_open=5, ref_gap_extend=0)
+    rng = np.random.default_rng(5)
+    lp, band_w = 120, 255
+    a = rng.integers(0, 4, 60).astype(np.int8)
+    b = rng.integers(0, 4, 60).astype(np.int8)
+    pats = np.concatenate([a, b])[None, :].astype(np.int8)
+    junk = rng.integers(0, 4, 150).astype(np.int8)
+    text = np.concatenate([a, junk, b,
+                           rng.integers(0, 4, band_w).astype(np.int8)])
+    texts = text[None, : lp + 2 * band_w].astype(np.int8)
+    plens = np.full(1, lp, np.int32)
+    tlens = np.full(1, texts.shape[1], np.int32)
+    quals = np.full((1, lp), 35, np.int32)
+    kw = dict(scheme=scheme, atype=AlignmentType.SEMI_GLOBAL,
+              band_w=band_w)
+    jp = jnp.asarray
+    ref = banded_score_batch(jp(pats), jp(plens), jp(texts), jp(tlens),
+                             jp(quals), **kw)
+    out = wide_band_cigar_batch(pats, plens, texts, tlens, quals,
+                                use_pallas=False, **kw)
+    assert out["tb_ok"][0]
+    assert int(out["score"][0]) == int(ref["score"][0]) == -5
+    s, i_end, j_end = _rescore_runs(out, 0, pats, texts, quals, scheme)
+    assert s == int(out["score"][0])
+    assert i_end == lp and j_end == int(out["t_end"][0])
