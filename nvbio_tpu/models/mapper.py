@@ -699,8 +699,11 @@ class Mapper:
         # cumulative count of locate-budget slots dropped on overflow
         # (params.locate_frac / mm_locate_frac; see locate_compact)
         self.locate_dropped = 0
-        # reads re-mapped by the escalation round (params.max_effort)
+        # re-maps performed by escalation rounds (params.max_effort;
+        # a read re-mapped in two rounds counts twice)
         self.escalated = 0
+        # reads whose round-1 budgets overflowed (escalation pressure)
+        self.overflowed = 0
 
     @staticmethod
     def _len_bucket(seqs, lens, quals):
@@ -756,10 +759,29 @@ class Mapper:
             grouped.append(uniq)
         return grouped
 
-    def _dispatch_chunk(self, seqs, lens, quals):
+    def _chunk_params(self, width: int) -> MapperParams:
+        """Per-chunk params: when ``seed_interval_fn`` is set, the
+        Bowtie2 ``-i`` interval function is evaluated at the chunk's
+        bucketed read width (ref: params.cpp SimpleFunc per read; here
+        per 32-wide length bucket — one jit variant per bucket instead
+        of one static shape per file, SURVEY.md §5.7)."""
+        p = self.params
+        if p.seed_interval_fn is None:
+            return p
+        from .params import eval_simple_func
+        iv = max(1, int(eval_simple_func(
+            p.seed_interval_fn, p.seed_interval_a, p.seed_interval_b,
+            width) + 0.5))
+        if iv == p.seed_interval:
+            return p
+        from dataclasses import replace
+        return replace(p, seed_interval=iv)
+
+    def _dispatch_chunk(self, seqs, lens, quals, params=None):
         """Launch the device work for one chunk (async; nothing is
         pulled to the host here)."""
         R = seqs.shape[0]
+        params = params or self._chunk_params(seqs.shape[1])
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
@@ -767,10 +789,11 @@ class Mapper:
         # uniform-length batches take the static-flip revcomp path
         ushift = (seqs.shape[1] - int(lens.max())
                   if len(lens) and lens.min() == lens.max() else -1)
-        fwd = self._forward(jr, jl, jq, uniform_shift=ushift)
+        fwd = self._forward(jr, jl, jq, uniform_shift=ushift,
+                            params=params)
         res, walk = traceback_walk_batch(
             self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
-            fwd["win_start"], fwd["strand"], params=self.params,
+            fwd["win_start"], fwd["strand"], params=params,
             use_pallas=self.use_pallas, active=fwd["aligned"],
         )
         return (seqs, lens, quals, fwd, res, walk, R)
@@ -780,20 +803,33 @@ class Mapper:
     #: uniform-seed pipeline, which only the flagship mapper wants
     ESCALATES = True
 
-    def _escalated_params(self):
-        """Round-2 budgets: a superset of round 1's search effort."""
+    def _escalated_params(self, round_i: int = 2, base=None):
+        """Round-``round_i`` budgets (>= 2): each round is a superset
+        of the previous round's search effort (ref: best_approx_inl.h
+        rounds loop runs up to ``max_effort`` rounds with growing
+        seed-hit budgets)."""
         from dataclasses import replace
-        p = self.params
+        p = base or self.params
+        f = 8 ** (round_i - 1)
+        k = 2 ** (round_i - 1)
         return replace(
-            p, max_range=p.max_range * 8, locate_frac=1.0,
-            mm_locate_frac=1.0, max_locate=min(p.max_locate * 2, 128),
-            max_candidates=min(p.max_candidates * 2, 64),
+            p, max_range=p.max_range * f, locate_frac=1.0,
+            mm_locate_frac=1.0, max_locate=min(p.max_locate * k, 128),
+            max_candidates=min(p.max_candidates * k, 64),
             max_effort=1)
+
+    def _finish_handle(self, handle):
+        """(results, fwd) for one dispatched chunk (escalation rounds;
+        subclasses with different handle layouts override)."""
+        seqs, lens, quals, fwd, res, walk, R = handle
+        return self._finish(seqs, lens, quals, fwd, res, walk)[:R], fwd
 
     def _collect_chunk(self, handle):
         seqs, lens, quals, fwd, res, walk, R = handle
         if "locate_dropped" in fwd:
             self.locate_dropped += int(fwd["locate_dropped"])
+        if "overflow" in fwd:
+            self.overflowed += int(np.asarray(fwd["overflow"])[:R].sum())
         results = self._finish(seqs, lens, quals, fwd, res, walk)[:R]
         if self.ESCALATES and self.params.max_effort > 1:
             results = self._escalate_chunk(seqs, lens, quals, fwd,
@@ -801,35 +837,33 @@ class Mapper:
         return results
 
     def _escalate_chunk(self, seqs, lens, quals, fwd, results, R):
-        """Second effort round (ref: best_approx_inl.h rounds loop):
-        re-map reads whose round-1 budgets overflowed with escalated
-        budgets and adopt the round-2 result — round 2 examines a
-        superset of candidates, so its best/second evidence subsumes
-        round 1's."""
-        overflow = np.asarray(fwd["overflow"])[:R]
-        idx = np.flatnonzero(overflow)
-        if idx.size == 0:
-            return results
-        p2 = self._escalated_params()
-        s2, l2, q2 = (seqs[:R][idx], lens[:R][idx],
-                      np.asarray(quals[:R])[idx])
-        s2p, l2p, q2p = self._pad_chunk(s2, l2, q2)
-        jr = jnp.asarray(s2p)
-        jl = jnp.asarray(l2p.astype(np.int32))
-        jq = jnp.asarray(q2p.astype(np.uint8))
-        fwd2 = map_batch(
-            self.fm, self.ssa, self.genome, jr, jl, jq, params=p2,
-            use_pallas=self.use_pallas, lut=self.lut,
-            gwords=self.gwords, fm2=self.fm2, bi=self.bi)
-        res2, walk2 = traceback_walk_batch(
-            self.genome, jnp.asarray(self.n, jnp.int32), jr, jl, jq,
-            fwd2["win_start"], fwd2["strand"], params=p2,
-            use_pallas=self.use_pallas, active=fwd2["aligned"])
-        fin2 = self._finish(s2p, l2p, q2p, fwd2, res2, walk2)[:idx.size]
-        for j, r2 in zip(idx, fin2):
-            if r2.aligned or not results[j].aligned:
-                results[j] = r2
-        self.escalated += int(idx.size)
+        """Effort-escalation rounds (ref: best_approx_inl.h rounds
+        loop): reads whose budgets overflowed re-map with escalated
+        budgets, up to ``max_effort`` rounds total, each round a
+        superset of the last — so the final round's best/second
+        evidence subsumes every earlier round's.  Reads that stop
+        overflowing exit the ladder early."""
+        base = self._chunk_params(seqs.shape[1])
+        overflow = np.asarray(fwd["overflow"])[:R].copy()
+        for rnd in range(2, base.max_effort + 1):
+            idx = np.flatnonzero(overflow)
+            if idx.size == 0:
+                break
+            p2 = self._escalated_params(rnd, base)
+            h2 = self._dispatch_chunk(
+                seqs[:R][idx], lens[:R][idx],
+                np.asarray(quals[:R])[idx], params=p2)
+            # round >= 2 locate drops are NOT accumulated (the stat
+            # counts round-1 pressure once per read)
+            h2[3].pop("locate_dropped", None)
+            fin2, fwd2 = self._finish_handle(h2)
+            for j, r2 in zip(idx, fin2):
+                if r2.aligned or not results[j].aligned:
+                    results[j] = r2
+            self.escalated += int(idx.size)
+            overflow[:] = False
+            if "overflow" in fwd2:
+                overflow[idx] = np.asarray(fwd2["overflow"])[: idx.size]
         return results
 
     def _map_chunk(self, seqs, lens, quals):
@@ -870,12 +904,12 @@ class Mapper:
         while pending:
             yield drain()
 
-    def _forward(self, jr, jl, jq, uniform_shift: int = -1):
+    def _forward(self, jr, jl, jq, uniform_shift: int = -1, params=None):
         """The jitted forward mapping step; subclasses swap seeding."""
         return map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
-            params=self.params, use_pallas=self.use_pallas, lut=self.lut,
-            gwords=self.gwords, fm2=self.fm2, bi=self.bi,
+            params=params or self.params, use_pallas=self.use_pallas,
+            lut=self.lut, gwords=self.gwords, fm2=self.fm2, bi=self.bi,
             uniform_shift=uniform_shift,
         )
 

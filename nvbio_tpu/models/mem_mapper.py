@@ -96,10 +96,11 @@ class MemMapper(Mapper):
     """Host orchestration for the MEM pipeline — same SAM emit path as
     the flagship mapper, MEM seeding in the forward step."""
 
-    def _forward(self, jr, jl, jq, uniform_shift: int = -1):
+    def _forward(self, jr, jl, jq, uniform_shift: int = -1,
+                 params=None):
         del uniform_shift  # MEM/q-gram seeding reverse-complements per candidate
         return mem_map_batch(
             self.fm, self.ssa, self.genome, jr, jl, jq,
-            params=self.params, use_pallas=self.use_pallas,
+            params=params or self.params, use_pallas=self.use_pallas,
             gwords=self.gwords,
         )

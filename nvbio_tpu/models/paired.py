@@ -508,11 +508,14 @@ class PairedMapper(Mapper):
     def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
         """Launch forward + per-mate traceback device work (async)."""
         R = s1.shape[0]
+        # per-bucket -i evaluation (Mapper._chunk_params): both mates
+        # share one bucket width, so one interval serves the pair
+        params = self._chunk_params(max(s1.shape[1], s2.shape[1]))
         (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
             s1, l1, q1, s2, l2, q2)
         m1, m2, pair = pe_map_batch(
             self.fm, self.ssa, self.genome, *args,
-            params=self.params, use_pallas=self.use_pallas, lut=self.lut,
+            params=params, use_pallas=self.use_pallas, lut=self.lut,
             gwords=self.gwords, fm2=self.fm2, bi=self.bi,
         )
         nj = jnp.asarray(self.n, jnp.int32)
@@ -523,7 +526,7 @@ class PairedMapper(Mapper):
                 self.genome, nj, jnp.asarray(sp),
                 jnp.asarray(lp.astype(np.int32)),
                 jnp.asarray(qp.astype(np.uint8)),
-                mate["win_start"], mate["strand"], params=self.params,
+                mate["win_start"], mate["strand"], params=params,
                 use_pallas=self.use_pallas, active=mate["aligned"],
             )
             walks.append((mate, res, walk))

@@ -9,9 +9,19 @@ score-min function, --mp style mismatch range).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from ..alignment.types import GotohScheme, AlignmentType
+
+
+def eval_simple_func(fn: str, a: float, b: float, x: float) -> float:
+    """Bowtie2 SimpleFunc FN,A,B of x (ref: bowtie2 SimpleFunc /
+    params.cpp): C -> a; L -> a + b*x; S -> a + b*sqrt(x);
+    G -> a + b*ln(x)."""
+    g = {"C": 1.0, "L": float(x), "S": math.sqrt(x),
+         "G": math.log(max(x, 1))}[fn]
+    return a if fn == "C" else a + b * g
 
 
 @dataclass(frozen=True)
@@ -19,6 +29,14 @@ class MapperParams:
     # seeding (bowtie2 -L / -i equivalents; fixed interval for static shapes)
     seed_len: int = 22
     seed_interval: int = 11
+    # optional -i interval FUNCTION of read length (bowtie2 SimpleFunc
+    # FN in C/L/S/G): when set, the mapper re-evaluates the interval
+    # per length bucket (Mapper._chunk_params) — mixed-length inputs
+    # get the right seed density per bucket instead of the first
+    # read's; seed_interval above is then only the fallback
+    seed_interval_fn: str | None = None
+    seed_interval_a: float = 0.0
+    seed_interval_b: float = 0.0
     # approximate seeding (bowtie2 -N: 0 or 1 mismatches in the seed,
     # ref: mapping_inl.h map_approx over fmindex/backtrack.h)
     seed_mismatches: int = 0

@@ -95,11 +95,12 @@ class QGramMapper(Mapper):
         self.max_hits = max_hits
         self.qidx = build_qgram_index(np.asarray(genome_symbols), q=q)
 
-    def _forward(self, jr, jl, jq, uniform_shift: int = -1):
+    def _forward(self, jr, jl, jq, uniform_shift: int = -1,
+                 params=None):
         del uniform_shift  # MEM/q-gram seeding reverse-complements per candidate
         return qgram_map_batch(
             self.fm, self.qidx, self.genome, jr, jl, jq,
             q=self.q, stride=self.stride, max_hits=self.max_hits,
-            params=self.params, use_pallas=self.use_pallas,
+            params=params or self.params, use_pallas=self.use_pallas,
             gwords=self.gwords,
         )

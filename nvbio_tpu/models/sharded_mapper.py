@@ -201,12 +201,27 @@ def _sharded_pe_merge(shard_outs, l1, l2, rel, params: MapperParams):
     straddle), that shard's ownership-masked se_best IS the reported
     alignment, and without the exclusion XS == AS on uniquely-mapping
     mates."""
-    S = len(shard_outs)
     stackf = lambda sel: jnp.stack([sel(o) for o in shard_outs])
-    has_conc = stackf(lambda o: o[2]["has_conc"])  # (S, R)
-    p_sc = stackf(lambda o: o[2]["pair_score"])
-    p_2nd = stackf(lambda o: o[2]["pair_second"])
-    proper_s = stackf(lambda o: o[2]["proper"])
+    st1 = {k: stackf(lambda o: o[0][k]) for k in shard_outs[0][0]}
+    st2 = {k: stackf(lambda o: o[1][k]) for k in shard_outs[0][1]}
+    stp = {k: stackf(lambda o: o[2][k])
+           for k in ("has_conc", "pair_score", "pair_second", "proper")}
+    m1, m2, pair = _pe_merge_stacked(st1, st2, stp, l1, l2, rel, params)
+    pair["locate_dropped"] = sum(
+        o[2].get("locate_dropped", jnp.int32(0)) for o in shard_outs)
+    return m1, m2, pair
+
+
+def _pe_merge_stacked(st1, st2, stp, l1, l2, rel, params: MapperParams):
+    """Core of _sharded_pe_merge over PRE-STACKED (S, R) arrays —
+    shared verbatim by the sequential path (host-stacked list) and the
+    shard-per-chip mesh path (all_gather over the ``shard`` axis), so
+    both layouts reduce bit-identically."""
+    has_conc = stp["has_conc"]  # (S, R)
+    p_sc = stp["pair_score"]
+    p_2nd = stp["pair_second"]
+    proper_s = stp["proper"]
+    S = has_conc.shape[0]
     conc_sc = jnp.where(has_conc, p_sc, NEG_INF)
     resc_sc = jnp.where(proper_s & ~has_conc, p_sc, NEG_INF)
     any_conc = has_conc.any(axis=0)
@@ -227,8 +242,8 @@ def _sharded_pe_merge(shard_outs, l1, l2, rel, params: MapperParams):
     mq_pair = mapq_v2(pair_score, pair_second,
                       pair_second > NEG_INF // 2, smin_p, sperf_p)
 
-    def merge_mate(idx, lens):
-        m = lambda key: stackf(lambda o: o[idx][key])
+    def merge_mate(st, lens):
+        m = lambda key: st[key]
         se_best = m("se_best")
         se_sec = m("se_second")
         wg = jnp.argmax(se_best, axis=0).astype(jnp.int32)
@@ -273,14 +288,10 @@ def _sharded_pe_merge(shard_outs, l1, l2, rel, params: MapperParams):
             "shard": shard,
         }, se_aligned
 
-    m1, a1 = merge_mate(0, l1)
-    m2, a2 = merge_mate(1, l2)
+    m1, a1 = merge_mate(st1, l1)
+    m2, a2 = merge_mate(st2, l2)
     discordant = (~proper) & a1 & a2
-    return m1, m2, {
-        "proper": proper, "discordant": discordant,
-        "locate_dropped": sum(
-            o[2].get("locate_dropped", jnp.int32(0)) for o in shard_outs),
-    }
+    return m1, m2, {"proper": proper, "discordant": discordant}
 
 
 class ShardedMapper(Mapper):
@@ -312,7 +323,8 @@ class ShardedMapper(Mapper):
         gp[: self.n] = genome_symbols
         self._genome_np = gp  # GLOBAL host copy (int64 indexing is free)
         self.locate_dropped = 0
-        self.escalated = 0  # reads re-mapped by the escalation round
+        self.escalated = 0  # re-maps performed by escalation rounds
+        self.overflowed = 0  # reads whose round-1 budgets overflowed
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -376,7 +388,7 @@ class ShardedMapper(Mapper):
                 st["fm2"] = None
 
     def _dispatch_chunk(self, seqs, lens, quals, params=None):
-        params = params or self.params
+        params = params or self._chunk_params(seqs.shape[1])
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
@@ -497,30 +509,25 @@ class ShardedMapper(Mapper):
                              + np.asarray(fwd["win_start"]).astype(np.int64))
         return self._finish(seqs, lens, quals, fwd2, None, walk)[:R]
 
+    def _finish_handle(self, handle):
+        """(results, fwd) for one dispatched chunk (escalation rounds;
+        see Mapper._escalate_chunk)."""
+        seqs, lens, quals, fwd, walk, R = handle
+        return self._finish_sharded(seqs, lens, quals, fwd, walk, R), fwd
+
     def _collect_chunk(self, handle):
         seqs, lens, quals, fwd, walk, R = handle
+        if "overflow" in fwd:
+            self.overflowed += int(np.asarray(fwd["overflow"])[:R].sum())
         results = self._finish_sharded(seqs, lens, quals, fwd, walk, R)
-        # escalation round (ref: best_approx_inl.h rounds loop; same
-        # semantics as Mapper._escalate_chunk): re-map reads whose
-        # budgets overflowed on ANY shard with escalated budgets
+        # escalation ladder (ref: best_approx_inl.h rounds loop; shared
+        # with Mapper._escalate_chunk): re-map reads whose budgets
+        # overflowed on ANY shard with escalated budgets, up to
+        # max_effort rounds
         if (self.ESCALATES and self.params.max_effort > 1
                 and "overflow" in fwd):
-            overflow = np.asarray(fwd["overflow"])[:R]
-            idx = np.flatnonzero(overflow)
-            if idx.size:
-                p2 = self._escalated_params()
-                h2 = self._dispatch_chunk(
-                    seqs[:R][idx], lens[:R][idx],
-                    np.asarray(quals[:R])[idx], params=p2)
-                # round-2 locate drops are NOT accumulated (matches
-                # Mapper._escalate_chunk: the stat counts round-1
-                # pressure once per read)
-                h2[3].pop("locate_dropped", None)
-                fin2 = self._finish_sharded(*h2[:5], idx.size)
-                for j, r2 in zip(idx, fin2):
-                    if r2.aligned or not results[j].aligned:
-                        results[j] = r2
-                self.escalated += int(idx.size)
+            results = self._escalate_chunk(seqs, lens, quals, fwd,
+                                           results, R)
         return results
 
     def map_reads_all(self, seqs, lens, quals, max_alns: int = 8):

@@ -87,6 +87,13 @@ def main(argv=None):
                    help="restart an interrupted run: skip reads already "
                    "present in the output SAM and append (the batch-"
                    "restartable elastic story; plain .sam only)")
+    p.add_argument("--mesh", default="auto", choices=["auto", "on", "off"],
+                   help="sharded index: run shard-per-device over a "
+                   "jax mesh when enough devices exist (candidate "
+                   "stages run concurrently, one shard per chip's "
+                   "HBM; 'auto' uses it when len(jax.devices()) >= "
+                   "n_shards, 'on' requires it, 'off' forces the "
+                   "sequential single-device schedule)")
     p.add_argument("--fm2-mode", default="auto",
                    choices=["auto", "off", "resident", "stream"],
                    help="sharded-index 2-step FM-index mode: resident "
@@ -159,18 +166,21 @@ def main(argv=None):
     sm = args.score_min or ("G,20,8" if args.local else "L,-0.6,-0.6")
     sm_fn, sm_a, sm_b = _func(sm, "--score-min")
 
-    # seed interval: constant or a function of read length, evaluated
-    # once on the first read (one static seeding shape per run)
+    # seed interval: constant, or a function of read length that the
+    # mapper re-evaluates per 32-wide length bucket (one jit variant
+    # per bucket; Mapper._chunk_params) — the first read's length only
+    # seeds the fallback for paths without bucket awareness
+    ifn = None
     try:
         seed_interval = int(args.seed_interval)
     except ValueError:
-        fn, a, b = _func(args.seed_interval, "-i")
+        ifn = _func(args.seed_interval, "-i")
         from ..io.sequence import open_read_iter
         L0 = 100
         for _, s0, _ in open_read_iter(args.U or args.m1):
             L0 = len(s0)
             break
-        seed_interval = max(1, int(_eval_func(fn, a, b, L0) + 0.5))
+        seed_interval = max(1, int(_eval_func(*ifn, L0) + 0.5))
 
     # sharded index? (-x may be a manifest prefix or the .json itself)
     import os as _os
@@ -193,6 +203,8 @@ def main(argv=None):
     params = MapperParams(
         seed_len=args.seed_len,
         seed_interval=seed_interval,
+        **({"seed_interval_fn": ifn[0], "seed_interval_a": ifn[1],
+            "seed_interval_b": ifn[2]} if ifn else {}),
         seed_mismatches=args.seed_mm,
         local=args.local,
         **({"band_w": args.band} if args.band is not None else {}),
@@ -219,11 +231,30 @@ def main(argv=None):
     if sharded:
         from ..models.sharded_mapper import ShardedMapper, PairedShardedMapper
 
-        scls = PairedShardedMapper if args.m1 else ShardedMapper
-        mapper = scls(sidx, genome, params=params,
-                      contigs=contigs,
-                      use_pallas=False if args.cpu else None,
-                      fm2_mode=args.fm2_mode)
+        import jax
+        n_shards = len(sidx.shards)
+        use_mesh = (args.mesh == "on"
+                    or (args.mesh == "auto"
+                        and len(jax.devices()) >= n_shards > 1))
+        if use_mesh:
+            from ..models.mesh_sharded import (MeshShardedMapper,
+                                               MeshPairedShardedMapper)
+
+            if args.batch % n_shards:
+                p.error(f"--mesh needs --batch divisible by the "
+                        f"{n_shards}-shard mesh")
+            scls = MeshPairedShardedMapper if args.m1 else MeshShardedMapper
+            mapper = scls(sidx, genome, params=params, contigs=contigs,
+                          use_pallas=False if args.cpu else None)
+            print(f"[map_reads] mesh: {n_shards} shards over "
+                  f"{n_shards} devices (shard-per-chip)",
+                  file=sys.stderr)
+        else:
+            scls = PairedShardedMapper if args.m1 else ShardedMapper
+            mapper = scls(sidx, genome, params=params,
+                          contigs=contigs,
+                          use_pallas=False if args.cpu else None,
+                          fm2_mode=args.fm2_mode)
     else:
         cls = PairedMapper if args.m1 else Mapper
         mapper = cls(fm, ssa, genome, params=params, contigs=contigs,
@@ -334,11 +365,18 @@ def main(argv=None):
                             writer.write(rec)
     writer.close()
     stats.locate_dropped = getattr(mapper, "locate_dropped", 0)
+    stats.escalated = getattr(mapper, "escalated", 0)
+    stats.overflowed = getattr(mapper, "overflowed", 0)
     if stats.locate_dropped:
         print(f"[map_reads] locate budget overflow: "
               f"{stats.locate_dropped} candidate slots dropped "
               "(raise --locate-frac toward 1.0 to locate everything)",
               file=sys.stderr)
+    if stats.escalated:
+        print(f"[map_reads] effort escalation: {stats.overflowed} reads "
+              f"overflowed round-1 budgets; {stats.escalated} re-maps "
+              f"across {mapper.params.max_effort - 1} escalation "
+              "round(s)", file=sys.stderr)
     report = stats.report(file=sys.stderr)
     if args.stats:
         with open(args.stats, "w") as f:

@@ -42,6 +42,11 @@ class MappingStats:
     # locate-budget slots dropped on overflow (params.locate_frac /
     # mm_locate_frac < 1.0 on hit-dense batches; 0 = no hits lost)
     locate_dropped: int = 0
+    # effort-escalation pressure (ref: nvBowtie max_effort rounds):
+    # reads whose round-1 budgets overflowed, and re-maps performed by
+    # the escalation ladder (a read re-mapped twice counts twice)
+    overflowed: int = 0
+    escalated: int = 0
     mapq_hist: dict = field(default_factory=lambda: defaultdict(int))
     timers: dict = field(default_factory=dict)
 
@@ -76,6 +81,8 @@ class MappingStats:
             "proper_pairs": self.proper_pairs,
             "discordant": self.discordant,
             "locate_dropped": self.locate_dropped,
+            "overflowed": self.overflowed,
+            "escalated": self.escalated,
             "mapq_hist": dict(sorted(self.mapq_hist.items())),
             "reads_per_sec": round(self.reads_per_sec(), 1),
             "stage_seconds": {
