@@ -29,10 +29,15 @@ contains an optimal pass-1 path entirely, so its score matches pass 1
 exactly (asserted in tests) and the emitted CIGAR attains it.  When
 several optimal paths exist the traced one follows pass 2's in-window
 tie-break, which can differ from a full-band twin's choice — the
-score and validity are identical.  Alignments so bad that the
-certificate exceeds ``max_tb_band`` (score gap > ~2300 at default
-penalties) report ``tb_ok=False`` with score/ends only — for a
-mapper those are discards anyway.
+score and validity are identical.
+
+Alignments whose certificate exceeds ``max_tb_band`` (score gap
+> ~2300 at default penalties) take **pass 3** instead (round 3; was
+``tb_ok=False``): the wavefront kernel re-runs on just those lanes
+emitting per-cell direction flags to HBM
+(ops/wavefront_dp.wavefront_dirs_pallas) and the host walks them
+(alignment/wavefront_walk.py) — no band cap, so every valid lane
+gets a CIGAR regardless of score gap.
 """
 
 from __future__ import annotations
@@ -165,7 +170,15 @@ def wide_band_cigar_batch(
         "run_ops": np.zeros((NB, 1), np.uint8),
         "run_lens": np.zeros((NB, 1), np.int32),
     }
+    # lanes whose certificate exceeds the banded ladder walk the
+    # wavefront kernel's own flags instead (pass 3 below) — no band
+    # cap, so every valid lane gets a CIGAR
+    hard = valid & (need > max_tb_band)
     if not tb_ok.any():
+        if hard.any():
+            _wavefront_tb(out, hard, patterns, plens, texts, tlens,
+                          quals, scheme, atype, band_w,
+                          interpret or not use_pallas)
         return out
 
     # ---- pass 2: re-positioned window, narrow-band directions DP ----
@@ -232,4 +245,73 @@ def wide_band_cigar_batch(
     out["t_start"] = np.where(tb_ok, off + fi + fk - B2, 0)
     out["run_ops"] = np.asarray(run_ops)
     out["run_lens"] = np.asarray(run_lens)
+    if hard.any():
+        _wavefront_tb(out, hard, patterns, plens, texts, tlens, quals,
+                      scheme, atype, band_w,
+                      interpret or not use_pallas)
     return out
+
+
+def _wavefront_tb(out, hard, patterns, plens, texts, tlens, quals,
+                  scheme, atype, band_w, interpret):
+    """Pass 3: CIGARs for lanes beyond the certificate ladder.
+
+    Re-runs the wavefront kernel on just the hard lanes with per-cell
+    flag emission (ops/wavefront_dp.wavefront_dirs_pallas) and walks
+    the flags on the host (alignment/wavefront_walk.py).  The kernel
+    is the same recurrence as pass 1, so scores/ends are unchanged;
+    only the CIGAR is new.  Flag HBM is ~NC*DC/8*NR8*512 B per lane
+    (tens of MB at 10 kb/band 2000) — hard lanes are walked in small
+    slices so the working set stays bounded.
+    """
+    from ..ops.wavefront_dp import wavefront_dirs_pallas
+    from .wavefront_walk import walk_wavefront_dirs
+
+    idx = np.flatnonzero(np.asarray(hard))
+    patterns = np.asarray(patterns)
+    texts = np.asarray(texts)
+    plens = np.asarray(plens)
+    tlens = np.asarray(tlens)
+    quals = None if quals is None else np.asarray(quals)
+    runs_all = {}
+    SLICE = 8  # lanes per kernel call (flag HBM bound)
+    for s0 in range(0, idx.size, SLICE):
+        sl = idx[s0:s0 + SLICE]
+        res, dirs, plan = wavefront_dirs_pallas(
+            patterns[sl], plens[sl].astype(np.int32), texts[sl],
+            tlens[sl].astype(np.int32),
+            None if quals is None else quals[sl],
+            scheme=scheme, atype=atype, band_w=band_w,
+            interpret=interpret)
+        dirs = np.asarray(dirs)
+        pe = np.asarray(res["p_end"])
+        te = np.asarray(res["t_end"])
+        sc = np.asarray(res["score"])
+        for li, b in enumerate(sl):
+            # pass 1 and pass 3 run the same kernel: ends must agree
+            assert sc[li] == out["score"][b], (b, sc[li],
+                                               out["score"][b])
+            ro, rl, ps, ts = walk_wavefront_dirs(
+                dirs[li], plan, band_w, pe[li], te[li])
+            runs_all[b] = (ro, rl, ps, ts)
+    if not runs_all:
+        return
+    # device-derived arrays are read-only views; mutation needs copies
+    for k in ("run_ops", "run_lens", "p_start", "t_start", "tb_ok",
+              "tb_band"):
+        out[k] = np.array(out[k])
+    width = max(out["run_ops"].shape[1],
+                max(len(r[0]) for r in runs_all.values()))
+    if width > out["run_ops"].shape[1]:
+        pad = width - out["run_ops"].shape[1]
+        out["run_ops"] = np.pad(out["run_ops"], ((0, 0), (0, pad)))
+        out["run_lens"] = np.pad(out["run_lens"], ((0, 0), (0, pad)))
+    for b, (ro, rl, ps, ts) in runs_all.items():
+        out["run_ops"][b, :len(ro)] = ro
+        out["run_ops"][b, len(ro):] = 0
+        out["run_lens"][b, :len(rl)] = rl
+        out["run_lens"][b, len(rl):] = 0
+        out["p_start"][b] = ps
+        out["t_start"][b] = ts
+        out["tb_ok"][b] = True
+        out["tb_band"][b] = band_w

@@ -9,6 +9,7 @@ device occ tables the same way at load time).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..basic.packed import pack_2bit
@@ -19,35 +20,8 @@ BLOCK = 128  # symbols per occ block
 WORDS = BLOCK // 16
 
 
-def build_fm_index(
-    text: np.ndarray,
-    sa_sample: int = 32,
-    sa: np.ndarray | None = None,
-    bi_sample: bool = False,
-):
-    """Build (FMIndex, SSA) for `text` (uint8 symbols 0..3).
-
-    `sa` may be passed to reuse a precomputed suffix array.
-    `bi_sample` marks SA values % sa_sample in {0, 1} (2x the samples)
-    so fm2.locate2 can walk in LF² double-steps — parity-safe, and any
-    single-step locate() still works (it stops at the first mark).
-    Returns device-ready structures (jnp arrays).
-    """
-    text = np.asarray(text, dtype=np.uint8)
-    n = len(text)
-    if sa is None:
-        sa = suffix_array(text)
-    bwt, primary = bwt_from_sa(text, sa)
-    m = n + 1  # BWT length including sentinel slot
-
-    n_blocks = (m + BLOCK - 1) // BLOCK + 1  # +1: queries at i = n+1
-    bwt_pad = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
-    bwt_pad[:m] = bwt
-
-    # cumulative counts at 16-symbol word granularity, built in slabs so
-    # hg-scale references stay within a few bytes/symbol of host RAM
-    # (the dummy 'A' at `primary` is counted here and subtracted at
-    # query time)
+def _occ_tables_host(bwt_pad: np.ndarray, n_blocks: int):
+    """Blocked occ tables on the host (NumPy slab loop)."""
     n_words16 = n_blocks * WORDS
     word_counts = np.empty((n_words16, 4), dtype=np.int16)
     w16 = bwt_pad.reshape(n_words16, 16)
@@ -65,8 +39,77 @@ def build_fm_index(
     # is lossless — the BASELINE 'int8 occurrence layout' (4x less
     # HBM per rank gather at hg scale)
     occ_sub = (word_starts - block_cum[:, None, :]).astype(np.int8)
+    return occ_abs, occ_sub
 
+
+def _popc_u32(x):
+    """Vectorized 32-bit popcount (device)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def occ_tables_device(bwt_words: np.ndarray):
+    """Blocked occ tables computed ON DEVICE from the packed BWT words
+    (ref: io/fmindex/fmindex.cpp builds device occ tables at load; here
+    the TPU does the counting itself — 2-bit-symbol popcounts per
+    16-symbol word + a device cumsum; SURVEY.md §4.4, config 4).
+
+    Upload = the packed BWT (0.25 B/symbol); download = occ_abs
+    (int32 (n_blocks, 4)) + occ_sub (int8 (n_blocks, WORDS, 4)).
+    Bit-identical to _occ_tables_host (tested at 100 Mbp).
+    """
+    n_blocks = bwt_words.shape[0]
+
+    @jax.jit
+    def f(w):
+        w = w.reshape(-1)  # (n_words16,) uint32, 16 symbols each
+        b0 = w & jnp.uint32(0x55555555)
+        b1 = (w >> 1) & jnp.uint32(0x55555555)
+        c3 = _popc_u32(b0 & b1)
+        c1 = _popc_u32(b0 & ~b1)
+        c2 = _popc_u32(b1 & ~b0)
+        c0 = 16 - c1 - c2 - c3
+        wc = jnp.stack([c0, c1, c2, c3], axis=1)  # (n_words16, 4) int32
+        cum = jnp.concatenate(
+            [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(wc, axis=0)[:-1]])
+        block_cum = cum[::WORDS]
+        occ_sub = (cum.reshape(n_blocks, WORDS, 4)
+                   - block_cum[:, None, :]).astype(jnp.int8)
+        return block_cum, occ_sub
+
+    occ_abs, occ_sub = f(jnp.asarray(bwt_words))
+    return np.asarray(occ_abs), np.asarray(occ_sub)
+
+
+def build_fm_arrays(
+    text: np.ndarray,
+    sa_sample: int = 32,
+    sa: np.ndarray | None = None,
+    bi_sample: bool = False,
+    occ_device: bool = False,
+):
+    """NumPy core of build_fm_index: returns two plain-array tuples
+    (fm fields, ssa fields) — usable from worker processes that must
+    not touch a JAX backend (fmindex/sharded.py parallel builds)."""
+    text = np.asarray(text, dtype=np.uint8)
+    n = len(text)
+    if sa is None:
+        sa = suffix_array(text)
+    bwt, primary = bwt_from_sa(text, sa)
+    m = n + 1  # BWT length including sentinel slot
+
+    n_blocks = (m + BLOCK - 1) // BLOCK + 1  # +1: queries at i = n+1
+    bwt_pad = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
+    bwt_pad[:m] = bwt
+    # (the dummy 'A' at `primary` is counted by the occ build and
+    # subtracted at query time)
     bwt_words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
+    if occ_device:
+        occ_abs, occ_sub = occ_tables_device(bwt_words)
+    else:
+        occ_abs, occ_sub = _occ_tables_host(bwt_pad, n_blocks)
 
     counts = np.bincount(text, minlength=4)
     C = np.zeros(5, dtype=np.int32)
@@ -95,61 +138,86 @@ def build_fm_index(
     mark_abs = np.zeros(n_words, dtype=np.int32)
     np.cumsum(popc[:-1], out=mark_abs[1:])
 
+    return ((bwt_words, occ_abs, occ_sub, C,
+             np.int32(primary), np.int32(n)),
+            (mark_words, mark_abs, vals))
+
+
+def build_fm_index(
+    text: np.ndarray,
+    sa_sample: int = 32,
+    sa: np.ndarray | None = None,
+    bi_sample: bool = False,
+    occ_device: bool = False,
+):
+    """Build (FMIndex, SSA) for `text` (uint8 symbols 0..3).
+
+    `sa` may be passed to reuse a precomputed suffix array.
+    `bi_sample` marks SA values % sa_sample in {0, 1} (2x the samples)
+    so fm2.locate2 can walk in LF² double-steps — parity-safe, and any
+    single-step locate() still works (it stops at the first mark).
+    `occ_device` computes the blocked occ tables on the accelerator
+    (occ_tables_device) instead of the host slab loop.
+    Returns device-ready structures (jnp arrays).
+    """
+    fmt, ssat = build_fm_arrays(text, sa_sample=sa_sample, sa=sa,
+                                bi_sample=bi_sample,
+                                occ_device=occ_device)
     fm = FMIndex(
-        bwt_words=jnp.asarray(bwt_words),
-        occ_abs=jnp.asarray(occ_abs),
-        occ_sub=jnp.asarray(occ_sub),
-        C=jnp.asarray(C),
-        primary=jnp.asarray(primary, jnp.int32),
-        n=jnp.asarray(n, jnp.int32),
+        bwt_words=jnp.asarray(fmt[0]),
+        occ_abs=jnp.asarray(fmt[1]),
+        occ_sub=jnp.asarray(fmt[2]),
+        C=jnp.asarray(fmt[3]),
+        primary=jnp.asarray(fmt[4], jnp.int32),
+        n=jnp.asarray(fmt[5], jnp.int32),
     )
     ssa = SSA(
-        mark_words=jnp.asarray(mark_words),
-        mark_abs=jnp.asarray(mark_abs),
-        vals=jnp.asarray(vals),
+        mark_words=jnp.asarray(ssat[0]),
+        mark_abs=jnp.asarray(ssat[1]),
+        vals=jnp.asarray(ssat[2]),
         k=int(sa_sample),
         bi=int(bool(bi_sample)),
     )
     return fm, ssa
 
 
-def build_kmer_lut(text: np.ndarray, sa: np.ndarray, k: int = 11):
+def build_kmer_lut(text: np.ndarray, sa: np.ndarray | None = None,
+                   k: int = 11):
     """k-mer -> SA-range lookup table (lut_lo, lut_hi), each (4^k,)
     int32: the starting range for backward search after resolving the
     last k pattern symbols in one gather (SURVEY.md §7.3(2)).
 
     Short suffixes (len < k) sort before any full k-mer with the same
-    prefix under the sentinel-smallest convention, which the build
-    encodes with a key LSB: key = packed_prefix * 2 + is_full.
+    prefix under the sentinel-smallest convention, encoded with a key
+    LSB: key2 = packed_prefix * 2 + is_full.
+
+    The ranges depend only on the MULTISET of suffix keys — each
+    k-mer's SA range is [1 + #(key2 < probe), 1 + #(key2 <= probe)] —
+    so a single histogram + cumsum over key2 replaces the old
+    SA-gather + 1.1G-element searchsorted (round 3: hg-scale LUT
+    8.5 min -> seconds; `sa` is accepted and ignored for API compat).
     """
     if k > 15:
         raise ValueError("k-mer LUT keys are int32: k <= 15")
+    del sa  # ranges are position-independent (docstring)
     text = np.asarray(text, dtype=np.uint8)
     n = len(text)
-    sa = np.asarray(sa)
     # rolling k-symbol keys over text padded with 'A' (short suffixes
     # get a padded key; the is_full bit orders them first)
     padded = np.concatenate([text & 3, np.zeros(k, np.uint8)])
     # in-place int32 rolling build: k <= 15 keys fit 30 bits, and
-    # out=-form shift/or avoids 2 temporaries per round (measured 4x
-    # on hg-scale: int64 temporaries were the build's hottest loop)
+    # out=-form shift/or avoids 2 temporaries per round
     keys = np.zeros(n + 1, dtype=np.int32)
     tmp = np.empty(n + 1, dtype=np.int32)
     for j in range(k):
         np.left_shift(keys, 2, out=keys)
         np.copyto(tmp, padded[j : j + n + 1], casting="unsafe")
         np.bitwise_or(keys, tmp, out=keys)
-    keys = keys[:n]
-    # sorted_keys[r] = 2 * key[sa[r]] + is_full, via chunked int32
-    # gathers (int64 multiply-add cost another 2 passes)
-    sorted_keys = np.empty(n, dtype=np.int64)
-    CH = 1 << 24
-    for s0 in range(0, n, CH):
-        sl = sa[s0 : s0 + CH].astype(np.int64)
-        sk = keys[sl].astype(np.int64) * 2
-        sk += sl <= n - k
-        sorted_keys[s0 : s0 + CH] = sk
-    probes = np.arange(1 << (2 * k), dtype=np.int64) * 2 + 1
-    lo = np.searchsorted(sorted_keys, probes, side="left") + 1
-    hi = np.searchsorted(sorted_keys, probes, side="right") + 1
-    return lo.astype(np.int32), hi.astype(np.int32)
+    # key2 of suffix i = 2 * key[i] + (i <= n - k), over i in [0, n)
+    np.left_shift(keys, 1, out=keys)
+    keys[: max(n - k + 1, 0)] |= 1
+    cum = np.cumsum(np.bincount(keys[:n], minlength=2 << (2 * k)))
+    probes = np.arange(1 << (2 * k), dtype=np.int64) * 2
+    lo = (cum[probes] + 1).astype(np.int32)      # #(key2 <= 2q) + 1
+    hi = (cum[probes + 1] + 1).astype(np.int32)  # #(key2 <= 2q+1) + 1
+    return lo, hi

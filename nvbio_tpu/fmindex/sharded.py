@@ -42,28 +42,90 @@ class ShardedIndex:
         self.lut_k = int(lut_k)
 
 
-def build_sharded_index(symbols: np.ndarray, shard_bp: int,
-                        overlap: int = 1024, sa_sample: int = 16,
-                        lut_k: int = 11,
-                        bi_sample: bool = False) -> ShardedIndex:
-    """Split `symbols` into ceil(n/shard_bp) shards (each extended by
-    `overlap` into the next) and build per-shard indexes."""
-    n = len(symbols)
-    shards = []
+def _shard_bounds(n: int, shard_bp: int, overlap: int):
+    bounds = []
     start = 0
     while start < n:
         end = min(start + shard_bp, n)
-        seg_end = min(end + overlap, n)
-        seg = np.ascontiguousarray(symbols[start:seg_end])
-        sa = suffix_array(seg)
-        fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa,
-                                 bi_sample=bi_sample)
-        lut = None
-        if lut_k > 0:
-            lo, hi = build_kmer_lut(seg, sa, k=lut_k)
-            lut = (jnp.asarray(lo), jnp.asarray(hi))
-        shards.append((fm, ssa, lut, start, seg_end - start))
+        bounds.append((start, min(end + overlap, n)))
         start = end
+    return bounds
+
+
+def _build_one_shard(symbols, start, seg_end, sa_sample, lut_k,
+                     bi_sample, occ_device):
+    seg = np.ascontiguousarray(symbols[start:seg_end])
+    sa = suffix_array(seg)
+    fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa,
+                             bi_sample=bi_sample, occ_device=occ_device)
+    lut = None
+    if lut_k > 0:
+        lo, hi = build_kmer_lut(seg, sa, k=lut_k)
+        lut = (jnp.asarray(lo), jnp.asarray(hi))
+    return (fm, ssa, lut, start, seg_end - start)
+
+
+def _build_one_shard_np(args):
+    """Process-pool worker: pure NumPy (build_fm_arrays) — a worker
+    must never initialize a JAX backend (the environment's
+    sitecustomize would grab the TPU tunnel per child, and fork-after-
+    JAX deadlocks; pools use the spawn context for the same reason)."""
+    symbols, start, seg_end, sa_sample, lut_k, bi_sample = args
+    from .build import build_fm_arrays, build_kmer_lut
+
+    seg = np.ascontiguousarray(symbols[start:seg_end])
+    sa = suffix_array(seg)
+    fmt, ssat = build_fm_arrays(seg, sa_sample=sa_sample, sa=sa,
+                                bi_sample=bi_sample)
+    lut = build_kmer_lut(seg, k=lut_k) if lut_k > 0 else None
+    return (fmt, ssat, int(sa_sample), int(bool(bi_sample)), lut,
+            start, seg_end - start)
+
+
+def build_sharded_index(symbols: np.ndarray, shard_bp: int,
+                        overlap: int = 1024, sa_sample: int = 16,
+                        lut_k: int = 11, bi_sample: bool = False,
+                        occ_device: bool = False,
+                        n_procs: int = 1) -> ShardedIndex:
+    """Split `symbols` into ceil(n/shard_bp) shards (each extended by
+    `overlap` into the next) and build per-shard indexes.
+
+    `occ_device`: compute each shard's blocked occ tables on the
+    accelerator (fmindex.build.occ_tables_device).  `n_procs > 1`:
+    build shards in parallel worker processes (the builder is shard-
+    independent — on an M-core host the wall time is ~1/min(M, S) of
+    sequential; ref: nvBWT is a one-GPU serial tool, SURVEY.md §4.4 —
+    this is the multi-core host-side analog)."""
+    n = len(symbols)
+    bounds = _shard_bounds(n, shard_bp, overlap)
+    if n_procs > 1 and len(bounds) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        from .index import FMIndex, SSA
+
+        # spawn, not fork: forking a JAX-initialized parent deadlocks
+        # in XLA's threads, and each child must start clean
+        with ProcessPoolExecutor(
+                max_workers=min(n_procs, len(bounds)),
+                mp_context=mp.get_context("spawn")) as ex:
+            outs = list(ex.map(_build_one_shard_np, [
+                (symbols, s, e, sa_sample, lut_k, bi_sample)
+                for s, e in bounds]))
+        shards = []
+        for fmt, ssat, k, bi, lut, start, length in outs:
+            fm = FMIndex(*(jnp.asarray(x) for x in fmt[:4]),
+                         primary=jnp.asarray(fmt[4]),
+                         n=jnp.asarray(fmt[5]))
+            ssa = SSA(*(jnp.asarray(x) for x in ssat), k=k, bi=bi)
+            lut = (None if lut is None
+                   else tuple(jnp.asarray(x) for x in lut))
+            shards.append((fm, ssa, lut, start, length))
+        return ShardedIndex(shards, n, sa_sample, lut_k)
+    shards = [
+        _build_one_shard(symbols, s, e, sa_sample, lut_k, bi_sample,
+                         occ_device)
+        for s, e in bounds
+    ]
     return ShardedIndex(shards, n, sa_sample, lut_k)
 
 

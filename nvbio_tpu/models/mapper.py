@@ -759,19 +759,20 @@ class Mapper:
             grouped.append(uniq)
         return grouped
 
-    def _chunk_params(self, width: int) -> MapperParams:
+    def _chunk_params(self, max_len: int) -> MapperParams:
         """Per-chunk params: when ``seed_interval_fn`` is set, the
         Bowtie2 ``-i`` interval function is evaluated at the chunk's
-        bucketed read width (ref: params.cpp SimpleFunc per read; here
-        per 32-wide length bucket — one jit variant per bucket instead
-        of one static shape per file, SURVEY.md §5.7)."""
+        longest READ length (ref: params.cpp SimpleFunc per read; here
+        per chunk — uniform-length batches get exactly the per-read
+        value, mixed-length files one value per length group instead
+        of one per file, SURVEY.md §5.7)."""
         p = self.params
         if p.seed_interval_fn is None:
             return p
         from .params import eval_simple_func
         iv = max(1, int(eval_simple_func(
             p.seed_interval_fn, p.seed_interval_a, p.seed_interval_b,
-            width) + 0.5))
+            max(int(max_len), 1)) + 0.5))
         if iv == p.seed_interval:
             return p
         from dataclasses import replace
@@ -781,7 +782,8 @@ class Mapper:
         """Launch the device work for one chunk (async; nothing is
         pulled to the host here)."""
         R = seqs.shape[0]
-        params = params or self._chunk_params(seqs.shape[1])
+        params = params or self._chunk_params(
+            lens.max() if len(lens) else seqs.shape[1])
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
@@ -843,7 +845,8 @@ class Mapper:
         superset of the last — so the final round's best/second
         evidence subsumes every earlier round's.  Reads that stop
         overflowing exit the ladder early."""
-        base = self._chunk_params(seqs.shape[1])
+        base = self._chunk_params(lens.max() if len(lens) else
+                                  seqs.shape[1])
         overflow = np.asarray(fwd["overflow"])[:R].copy()
         for rnd in range(2, base.max_effort + 1):
             idx = np.flatnonzero(overflow)

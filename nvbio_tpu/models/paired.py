@@ -508,9 +508,11 @@ class PairedMapper(Mapper):
     def _dispatch_pair_chunk(self, s1, l1, q1, s2, l2, q2):
         """Launch forward + per-mate traceback device work (async)."""
         R = s1.shape[0]
-        # per-bucket -i evaluation (Mapper._chunk_params): both mates
-        # share one bucket width, so one interval serves the pair
-        params = self._chunk_params(max(s1.shape[1], s2.shape[1]))
+        # per-chunk -i evaluation (Mapper._chunk_params): one interval
+        # serves the pair, from the longer mate's max length
+        params = self._chunk_params(
+            max(l1.max() if len(l1) else 0,
+                l2.max() if len(l2) else 0, 1))
         (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
             s1, l1, q1, s2, l2, q2)
         m1, m2, pair = pe_map_batch(

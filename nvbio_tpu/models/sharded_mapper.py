@@ -388,7 +388,8 @@ class ShardedMapper(Mapper):
                 st["fm2"] = None
 
     def _dispatch_chunk(self, seqs, lens, quals, params=None):
-        params = params or self._chunk_params(seqs.shape[1])
+        params = params or self._chunk_params(
+            lens.max() if len(lens) else seqs.shape[1])
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)

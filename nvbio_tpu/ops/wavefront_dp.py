@@ -76,7 +76,8 @@ def _row_shift_down(x, rows, fill):
 
 
 def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
-                           NC, KMUL, LPC, interpret=False):
+                           NC, KMUL, LPC, interpret=False,
+                           with_dirs=False, NR8=0):
     eo, ee, fo, fe = gap_penalties(scheme)
     is_local = atype == AlignmentType.LOCAL
     is_global = atype == AlignmentType.GLOBAL
@@ -85,7 +86,15 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
     # reproduces the twin's shift-fill base exactly (module docstring)
 
     def kernel(pm_ref, mis_ref, ts_ref, plen_ref, tlen_ref, out_ref,
-               tw_s, H1_s, H2_s, F1_s, E1_s, Hh1_s, bH_s, bK_s, g_s):
+               *refs):
+        if with_dirs:
+            dirs_ref = refs[0]
+            (tw_s, H1_s, H2_s, F1_s, E1_s, Hh1_s, bH_s, bK_s,
+             g_s) = refs[1:]
+        else:
+            dirs_ref = None
+            (tw_s, H1_s, H2_s, F1_s, E1_s, Hh1_s, bH_s, bK_s,
+             g_s) = refs
         NEGc = jnp.int32(NEG_INF)
         EMASKc = jnp.int32(EMASK)
         PADc = jnp.int32(PAD_SYMBOL)
@@ -161,8 +170,9 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
 
         def body(i, carry):
             tw, H1, H2, F1, E1, Hh1, bH, bK = carry
+            fl = jnp.zeros(shape, jnp.int32) if with_dirs else None
 
-            def diag(rr, carry2):
+            def diag(rr, carry2, fl):
                 tw, H1, H2, F1, E1, Hh1, bH, bK = carry2
                 m = i * 8 + rr
                 d = d0 + m
@@ -175,13 +185,14 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                 H1s = _flat_shift1(H1, NEGc)   # (r-1) of diag d-1
                 F1s = _flat_shift1(F1, NEGc)
                 H2s = _flat_shift1(H2, NEGc)   # (r-1) of diag d-2
-                F_new = jnp.maximum(H1s - jnp.int32(fo + fe),
-                                    F1s - jnp.int32(fe))
-                Hhat = jnp.maximum(H2s + s, F_new)
+                f_open = H1s - jnp.int32(fo + fe)
+                F_new = jnp.maximum(f_open, F1s - jnp.int32(fe))
+                Hdiag = H2s + s
+                Hhat = jnp.maximum(Hdiag, F_new)
                 if is_local:
                     Hhat = jnp.maximum(Hhat, 0)
-                E_new = jnp.maximum(E1 - jnp.int32(ee),
-                                    Hh1 - jnp.int32(eo + ee))
+                e_open = Hh1 - jnp.int32(eo + ee)
+                E_new = jnp.maximum(E1 - jnp.int32(ee), e_open)
                 H_new = jnp.maximum(Hhat, E_new)
                 if is_local:
                     H_new = jnp.maximum(H_new, 0)
@@ -189,6 +200,21 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                 jv = jA + d
                 ib = (x >= -band_w) & (x <= band_w)
                 vib = ib & (jv >= 0) & (jv <= tlen)
+                r0 = r_vec == 0
+                if with_dirs:
+                    # the twin's flag encoding (long_dp body / walk.py:
+                    # bits 0-1 H-source 0 diag / 1 E / 2 F / 3 origin,
+                    # bit 2 e_done, bit 3 f_done), packed 8 diagonals
+                    # per int32 plane (this diag at nibble rr)
+                    flag = jnp.where(H_new == Hdiag, 0,
+                                     jnp.where(H_new == E_new, 1, 2))
+                    if is_local:
+                        flag = jnp.where(H_new <= 0, 3, flag)
+                    flag4 = (flag
+                             | ((E_new == e_open).astype(jnp.int32) << 2)
+                             | ((F_new == f_open).astype(jnp.int32) << 3))
+                    flag4 = jnp.where(r0 | ~vib, 3, flag4)
+                    fl = fl | (flag4 << (4 * rr))
                 H_d = jnp.where(vib, H_new, NEGc)
                 F_d = jnp.where(vib, F_new, NEGc)
                 Hh_d = jnp.where(vib, Hhat, NEGc)
@@ -201,7 +227,6 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                     h0 = jnp.int32(0)
                 # row-0 cells exist only inside the band (j <= band_w)
                 h0 = jnp.where((d <= tlen) & (d <= band_w), h0, NEGc)
-                r0 = r_vec == 0
                 H_d = jnp.where(r0, h0, H_d)
                 F_d = jnp.where(r0, NEGc, F_d)
                 Hh_d = jnp.where(r0, NEGc, Hh_d)
@@ -215,10 +240,17 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                         upd = upd & vib
                     bH = jnp.where(upd, H_d, bH)
                     bK = jnp.where(upd, kA + d, bK)
-                return tw, H_d, H1, F_d, E_d, Hh_d, bH, bK
+                return (tw, H_d, H1, F_d, E_d, Hh_d, bH, bK), fl
 
             for rr in range(8):
-                carry = diag(rr, carry)
+                carry, fl = diag(rr, carry, fl)
+            if with_dirs:
+                if NR8 > NR:
+                    fl = jnp.concatenate(
+                        [fl, jnp.zeros((NR8 - NR, 128), jnp.int32)],
+                        axis=0)
+                base = pl.multiple_of(i * NR8, NR8)
+                dirs_ref[pl.ds(base, NR8), :] = fl
             return carry
 
         carry0 = (tw_s[...], H1_s[...], H2_s[...], F1_s[...], E1_s[...],
@@ -283,6 +315,34 @@ def _plan(Lp, Lt, band_w, dc):
     jax.jit,
     static_argnames=("scheme", "atype", "band_w", "interpret", "dc"),
 )
+def wavefront_dirs_pallas(
+    patterns, plens, texts, tlens, quals=None, *,
+    scheme: GotohScheme, atype: AlignmentType, band_w: int,
+    interpret: bool = False, dc: int | None = None,
+):
+    """Wide-band score + per-cell traceback flags streamed to HBM.
+
+    Flags use the twin's encoding (bits 0-1 H-source diag/E/F/origin,
+    bit 2 e_done, bit 3 f_done) packed 8 diagonals per int32 plane in
+    (NB, NC, DC//8, NR8, 128) layout — diagonal d of alignment b lives
+    at [b, d//DC, (d%DC)//8, :, :] nibble 4*(d%8), window lane
+    r - 128*SROWS*max(d//DC - C0, 0).  The host walk
+    (alignment.wavefront_walk.walk_wavefront_dirs) decodes it into
+    CIGAR runs — the unbounded-band traceback the certificate ladder
+    cannot reach (ref: checkpointed traceback, SURVEY §3.5/§5.8(c)).
+
+    Returns (res dict, dirs (NB, NC, DC//8, NR8, 128) int32, plan
+    tuple (DC, SROWS, C0, NR, NC, NR8)).
+    """
+    return _wavefront_call(patterns, plens, texts, tlens, quals,
+                           scheme=scheme, atype=atype, band_w=band_w,
+                           interpret=interpret, dc=dc, with_dirs=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "atype", "band_w", "interpret", "dc"),
+)
 def wavefront_score_pallas(
     patterns,  # (NB, Lp) symbols (0..3, >=4 N); pad arbitrary
     plens,  # (NB,) int32
@@ -301,6 +361,13 @@ def wavefront_score_pallas(
     docstring).  Bit-identical to ``alignment.banded_score_batch`` —
     raw scores, no floor normalization.  Returns dict with ``score``,
     ``p_end``, ``t_end`` of shape (NB,)."""
+    return _wavefront_call(patterns, plens, texts, tlens, quals,
+                           scheme=scheme, atype=atype, band_w=band_w,
+                           interpret=interpret, dc=dc, with_dirs=False)
+
+
+def _wavefront_call(patterns, plens, texts, tlens, quals, *, scheme,
+                    atype, band_w, interpret, dc, with_dirs):
     patterns = patterns.astype(jnp.int32)
     texts = texts.astype(jnp.int32)
     plens = plens.astype(jnp.int32)
@@ -347,12 +414,30 @@ def wavefront_score_pallas(
         texts[:, jnp.clip(tix, 0, Lt - 1)],
         PAD_SYMBOL).reshape(NB * NC, DC)
 
+    NR8 = (NR + 7) // 8 * 8
     kernel = _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS,
-                                    C0, NR, NC, KMUL, Lp + 1, interpret)
+                                    C0, NR, NC, KMUL, Lp + 1, interpret,
+                                    with_dirs=with_dirs, NR8=NR8)
     grid = (NB, NC)
+    out_shape = jax.ShapeDtypeStruct((NB, 128), jnp.int32)
+    out_specs = pl.BlockSpec((1, 128), lambda b, c: (b, 0),
+                             memory_space=pltpu.VMEM)
+    if with_dirs:
+        # flag planes: (NB, NC, DC//8, NR8, 128) int32 in HBM — the
+        # traceback working set for ONE wide alignment is
+        # NC * DC/8 * NR8 * 512 B (e.g. ~37 MB at Lp 10 kb, band 2000)
+        dirs_bytes = NB * NC * (DC // 8) * NR8 * 128 * 4
+        assert dirs_bytes <= (6 << 30), (
+            f"wavefront dirs would need {dirs_bytes / 2**30:.1f} GiB "
+            "HBM; walk fewer alignments per call")
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (NB * NC * (DC // 8) * NR8, 128), jnp.int32))
+        out_specs = (out_specs, pl.BlockSpec(
+            ((DC // 8) * NR8, 128), lambda b, c: (b * NC + c, 0),
+            memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NB, 128), jnp.int32),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((NR, 128), lambda b, c: (b * NC + c, 0),
@@ -366,12 +451,17 @@ def wavefront_score_pallas(
             pl.BlockSpec((1, 1), lambda b, c: (b, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda b, c: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((NR, 128), jnp.int32)] * 8
         + [pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(pm_w, mis_w, tst, plens[:, None], tlens[:, None])
+    if with_dirs:
+        out, dirs = out
+        res = {"score": out[:, 0], "p_end": out[:, 1],
+               "t_end": out[:, 2]}
+        return res, dirs.reshape(NB, NC, DC // 8, NR8, 128), (
+            DC, SROWS, C0, NR, NC, NR8)
     return {
         "score": out[:, 0],
         "p_end": out[:, 1],

@@ -44,6 +44,15 @@ def main(argv=None):
                    default="auto",
                    help="suffix sort: native C++ SA-IS (any size), NumPy "
                    "prefix-doubling, or on-device lax.sort prefix-doubling")
+    p.add_argument("--device-occ", action="store_true",
+                   help="compute the blocked occ tables on the "
+                        "accelerator (packed BWT up, occ tables down; "
+                        "bit-identical to the host path). Implies "
+                        "--accelerator")
+    p.add_argument("--procs", type=int, default=0,
+                   help="sharded builds: worker processes (0 = one "
+                        "per core up to the shard count; shards build "
+                        "independently)")
     p.add_argument("--accelerator", action="store_true",
                    help="allow JAX to use the accelerator backend. The "
                         "build is host-side (ref: nvBWT runs the GPU "
@@ -55,7 +64,8 @@ def main(argv=None):
                         "this flag")
     args = p.parse_args(argv)
 
-    if not (args.accelerator or args.algorithm == "device"):
+    if not (args.accelerator or args.device_occ
+            or args.algorithm == "device"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -80,10 +90,14 @@ def main(argv=None):
         # WITHOUT the fm2 pair-BWT (3+ derived copies would exceed
         # HBM), so bi-marking would double SSA memory for no LF^2
         # gain — shards default to mono marks
+        import os as _os
+        n_procs = args.procs or min(_os.cpu_count() or 1,
+                                    1 + len(g["symbols"]) // args.shard_bp)
         sidx = build_sharded_index(
             g["symbols"], shard_bp=args.shard_bp,
             overlap=args.shard_overlap, sa_sample=args.sa_sample,
-            lut_k=args.lut_k, bi_sample=False)
+            lut_k=args.lut_k, bi_sample=False,
+            occ_device=args.device_occ, n_procs=n_procs)
         save_sharded_index(prefix, sidx, g["symbols"].astype("int8"),
                            g["names"], g["lens"])
         print(f"[build_index] wrote {len(sidx.shards)}-shard index "
@@ -91,9 +105,6 @@ def main(argv=None):
               file=sys.stderr)
         return 0
     sa = None
-    if args.algorithm == "auto" and args.lut_k > 0:
-        from ..sufsort import suffix_array
-        sa = suffix_array(g["symbols"])
     if args.algorithm != "auto":
         from ..sufsort import (suffix_array, suffix_array_pd,
                                suffix_array_device)
@@ -114,14 +125,13 @@ def main(argv=None):
         print(f"[build_index] suffix sort ({args.algorithm}): {dt:.1f}s "
               f"({n/max(dt,1e-9)/1e6:.1f} Mbp/s)", file=sys.stderr)
     fm, ssa = build_fm_index(g["symbols"], sa_sample=args.sa_sample, sa=sa,
-                             bi_sample=not args.sa_mono)
+                             bi_sample=not args.sa_mono,
+                             occ_device=args.device_occ)
     lut = None
     if args.lut_k > 0:
         from ..fmindex.build import build_kmer_lut
-        if sa is None:
-            from ..sufsort import suffix_array
-            sa = suffix_array(g["symbols"])
-        lut = build_kmer_lut(g["symbols"], sa, k=args.lut_k)
+        # ranges come from a key histogram — no SA needed (build.py)
+        lut = build_kmer_lut(g["symbols"], k=args.lut_k)
     save_index(args.output, fm, ssa, g["symbols"].astype("int8"),
                g["names"], g["lens"], args.sa_sample,
                lut=lut, lut_k=args.lut_k, amb=g["amb"])

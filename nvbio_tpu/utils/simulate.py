@@ -108,3 +108,82 @@ def simulate_pairs(
         "true_pos": starts.astype(np.int64),
         "insert": inserts.astype(np.int64),
     }
+
+def _mutate_rows(rows: np.ndarray, rate, rng) -> np.ndarray:
+    """Substitute a `rate` fraction of symbols per row (vectorized);
+    rate may be scalar or per-row."""
+    rows = rows.copy()
+    rate = np.broadcast_to(np.asarray(rate, np.float64), (rows.shape[0],))
+    hit = rng.random(rows.shape) < rate[:, None]
+    delta = rng.integers(1, 4, rows.shape).astype(rows.dtype)
+    rows[hit] = (rows[hit] + delta[hit]) % 4
+    return rows
+
+
+def repeat_structured_genome(
+    n: int,
+    seed: int = 0,
+    alu_frac: float = 0.05,
+    alu_len: int = 300,
+    n_segdups: int = 6,
+    segdup_len: int = 100_000,
+    n_tandems: int = 200,
+):
+    """Synthetic genome with hg-like repeat structure (the environment
+    ships no real genome and has no network — SURVEY.md §0 — so the
+    repeat-stress campaign runs on planted structure instead: ALU-like
+    high-copy interspersed elements with 5-15% per-copy divergence,
+    segmental duplications at 1-3% divergence, and tandem arrays).
+
+    Returns (genome uint8, info dict with the planted coordinates:
+    alu_pos, segdup (src, dst, len) triples, tandem (pos, unit, count)
+    triples) so accuracy campaigns can score per region class.
+    """
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, n, dtype=np.uint8)
+
+    # ALU-like interspersed element
+    alu = rng.integers(0, 4, alu_len, dtype=np.uint8)
+    n_alu = int(n * alu_frac / alu_len)
+    alu_pos = np.sort(rng.integers(0, n - alu_len, n_alu).astype(np.int64))
+    div = rng.uniform(0.05, 0.15, n_alu)
+    copies = _mutate_rows(np.broadcast_to(alu, (n_alu, alu_len)), div, rng)
+    # strand-flip half the copies
+    flip = rng.random(n_alu) < 0.5
+    copies[flip] = np.where(copies[flip] < 4, 3 - copies[flip],
+                            copies[flip])[:, ::-1]
+    idx = alu_pos[:, None] + np.arange(alu_len)
+    g[idx.reshape(-1)] = copies.reshape(-1)
+
+    # segmental duplications (later plants overwrite earlier ALUs —
+    # realistic nesting; coordinates record plant order)
+    segdups = []
+    for _ in range(n_segdups):
+        L = int(segdup_len * rng.uniform(0.5, 1.5))
+        src = int(rng.integers(0, n - L))
+        dst = int(rng.integers(0, n - L))
+        if abs(dst - src) < L:
+            continue
+        g[dst:dst + L] = _mutate_rows(
+            g[src:src + L][None, :], rng.uniform(0.01, 0.03), rng)[0]
+        segdups.append((src, dst, L))
+
+    # tandem arrays
+    tandems = []
+    for _ in range(n_tandems):
+        unit = int(rng.integers(20, 500))
+        count = int(rng.integers(5, 50))
+        L = unit * count
+        if L >= n // 2:
+            continue
+        pos = int(rng.integers(0, n - L))
+        u = rng.integers(0, 4, unit, dtype=np.uint8)
+        arr = _mutate_rows(
+            np.broadcast_to(u, (count, unit)), 0.01, rng)
+        g[pos:pos + L] = arr.reshape(-1)
+        tandems.append((pos, unit, count))
+
+    return g, {
+        "alu_pos": alu_pos, "alu_len": alu_len,
+        "segdups": segdups, "tandems": tandems,
+    }

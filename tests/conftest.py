@@ -22,3 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables; with
+    that state resident, compiling the wide-band traceback walk
+    (alignment/wide.py pass 2) segfaulted inside XLA's
+    backend_compile_and_load (reproduced in rounds 2 and 3).  Clearing
+    the in-memory compilation caches between modules keeps the process
+    state bounded; within-module caching (where shapes repeat) is
+    unaffected."""
+    yield
+    jax.clear_caches()

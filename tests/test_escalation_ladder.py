@@ -75,8 +75,9 @@ def test_ladder_exits_early_when_overflow_clears():
 
 
 def test_per_bucket_seed_interval():
-    """-i L,0,0.25: a 64-wide bucket seeds every 16 bp, a 224-wide
-    bucket every 56 bp — and mixed-length mapping stays correct."""
+    """-i L,0,0.25: a 64 bp chunk max-length seeds every 16 bp, a
+    224 bp one every 56 bp — and mixed-length mapping stays
+    correct."""
     rng = np.random.default_rng(78)
     genome = rng.integers(0, 4, 60_000).astype(np.uint8)
     fm, ssa = build_fm_index(genome, sa_sample=8, bi_sample=True)

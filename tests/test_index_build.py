@@ -1,0 +1,79 @@
+"""Index-construction paths: device occ tables, histogram LUT,
+parallel shard builds (ref: nvBWT/nvSSA, SURVEY.md §3.4/§4.4).
+"""
+
+import numpy as np
+import pytest
+
+from nvbio_tpu.utils.simulate import random_genome
+
+
+def test_occ_device_equals_host_100mbp():
+    """The accelerator occ build (packed-BWT popcounts + device
+    cumsum) is bit-identical to the host slab loop at 100 Mbp."""
+    from nvbio_tpu.basic.packed import pack_2bit
+    from nvbio_tpu.sufsort import suffix_array, bwt_from_sa
+    from nvbio_tpu.fmindex.build import (_occ_tables_host,
+                                         occ_tables_device, BLOCK, WORDS)
+
+    g = random_genome(100_000_000, seed=71)
+    sa = suffix_array(g)
+    bwt, _primary = bwt_from_sa(g, sa)
+    m = len(g) + 1
+    n_blocks = (m + BLOCK - 1) // BLOCK + 1
+    bwt_pad = np.zeros(n_blocks * BLOCK, np.uint8)
+    bwt_pad[:m] = bwt
+    words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
+    occ_abs_h, occ_sub_h = _occ_tables_host(bwt_pad, n_blocks)
+    occ_abs_d, occ_sub_d = occ_tables_device(words)
+    np.testing.assert_array_equal(occ_abs_h, occ_abs_d)
+    np.testing.assert_array_equal(occ_sub_h, occ_sub_d)
+
+
+def test_lut_histogram_matches_sa_searchsorted():
+    """The histogram LUT equals the old SA-gather + searchsorted
+    construction (and therefore the true backward-search ranges)."""
+    from nvbio_tpu.sufsort import suffix_array
+    from nvbio_tpu.fmindex.build import build_kmer_lut
+
+    g = random_genome(200_000, seed=72)
+    n = len(g)
+    k = 8
+    sa = np.asarray(suffix_array(g))
+    # reference construction (pre-round-3 implementation)
+    padded = np.concatenate([g & 3, np.zeros(k, np.uint8)])
+    keys = np.zeros(n, np.int64)
+    for j in range(k):
+        keys = (keys << 2) | padded[j:j + n]
+    sorted_keys = keys[sa] * 2 + (sa <= n - k)
+    probes = np.arange(1 << (2 * k), dtype=np.int64) * 2 + 1
+    lo_ref = np.searchsorted(sorted_keys, probes, side="left") + 1
+    hi_ref = np.searchsorted(sorted_keys, probes, side="right") + 1
+
+    lo, hi = build_kmer_lut(g, k=k)
+    np.testing.assert_array_equal(lo, lo_ref.astype(np.int32))
+    np.testing.assert_array_equal(hi, hi_ref.astype(np.int32))
+
+
+def test_parallel_shard_build_matches_sequential():
+    """n_procs=2 worker-process shard builds produce arrays
+    bit-identical to the sequential builder."""
+    from nvbio_tpu.fmindex.sharded import build_sharded_index
+
+    g = random_genome(400_000, seed=73)
+    kw = dict(shard_bp=150_000, overlap=2048, sa_sample=8, lut_k=8)
+    seq = build_sharded_index(g, **kw)
+    par = build_sharded_index(g, n_procs=2, **kw)
+    assert len(seq.shards) == len(par.shards) == 3
+    for (f1, s1, l1, st1, ln1), (f2, s2, l2, st2, ln2) in zip(
+            seq.shards, par.shards):
+        assert (st1, ln1) == (st2, ln2)
+        for a, b in zip(f1, f2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(s1.mark_words),
+                                      np.asarray(s2.mark_words))
+        np.testing.assert_array_equal(np.asarray(s1.vals),
+                                      np.asarray(s2.vals))
+        assert (s1.k, s1.bi) == (s2.k, s2.bi)
+        np.testing.assert_array_equal(np.asarray(l1[0]), np.asarray(l2[0]))
+        np.testing.assert_array_equal(np.asarray(l1[1]), np.asarray(l2[1]))

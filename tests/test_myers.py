@@ -133,13 +133,41 @@ def test_myers_pallas_long_patterns():
         np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
 
 
+def test_myers_pallas_32kb_plan():
+    """32 kb patterns fit the VMEM model (text-chunked grid + state
+    scratch; the old ~8 kb cap is gone) — and a 32 kb pattern with
+    planted edits returns the exact distance in interpret mode."""
+    import jax.numpy as jnp
+    from nvbio_tpu.ops.myers_pallas import myers_pallas
+    from nvbio_tpu.alignment.types import AlignmentType
+
+    rng = np.random.default_rng(11)
+    LP = 32_768
+    LT = LP + 512
+    pat = rng.integers(0, 4, (1, LP)).astype(np.int32)
+    text = rng.integers(0, 4, (1, LT)).astype(np.int32)
+    t = pat[0].copy()
+    ed_pos = rng.choice(LP, 25, replace=False)
+    t[ed_pos] = (t[ed_pos] + 1 + rng.integers(0, 3, 25)) % 4
+    off = 37
+    text[0, off:off + LP] = t
+    d, e = myers_pallas(
+        jnp.asarray(pat), jnp.array([LP], jnp.int32),
+        jnp.asarray(text), jnp.array([LT], jnp.int32),
+        atype=AlignmentType.SEMI_GLOBAL, interpret=True)
+    # substitutions only: the best end is the plant's end with exactly
+    # the planted edit count (uniform random elsewhere scores worse)
+    assert int(d[0]) == len(set(ed_pos.tolist()))
+    assert int(e[0]) == off + LP
+
+
 def test_myers_pallas_vmem_guard():
     """Beyond the VMEM model's reach the wrapper raises with a clear
     message instead of failing at Mosaic compile."""
     import jax.numpy as jnp
     from nvbio_tpu.ops.myers_pallas import myers_pallas
 
-    NB, LP = 1, 40000
+    NB, LP = 1, 200_000
     with pytest.raises(ValueError, match="working set"):
         myers_pallas(
             jnp.zeros((NB, LP), jnp.int32), jnp.array([LP], jnp.int32),

@@ -161,9 +161,11 @@ def test_derive_band_certificate():
         out["score"], np.asarray(ref["score"]).astype(np.int64))
 
 
-def test_wide_cigar_garbage_lane_flagged():
-    """A lane whose best score blows the indel budget past
-    max_tb_band reports tb_ok=False (score/ends still valid)."""
+def test_wide_cigar_garbage_lane_takes_wavefront_tb():
+    """A lane whose certificate blows past max_tb_band no longer
+    reports tb_ok=False (pre-round-3 contract): pass 3 walks the
+    wavefront kernel's own flags, so it gets a CIGAR that re-scores
+    exactly too."""
     rng = np.random.default_rng(11)
     lp, band_w = 400, 900
     pats, plens, quals, texts, tlens = _wide_batch(
@@ -175,10 +177,61 @@ def test_wide_cigar_garbage_lane_flagged():
         pats, plens, texts, tlens, quals, use_pallas=False,
         scheme=scheme, atype=AlignmentType.SEMI_GLOBAL, band_w=band_w,
         max_tb_band=255)
+    assert out["tb_ok"].all()
+    for r in range(2):
+        s, i_end, j_end = _rescore_runs(out, r, pats, texts, quals,
+                                        scheme)
+        assert s == int(out["score"][r])
+        assert i_end == int(out["p_end"][r])
+        assert j_end == int(out["t_end"][r])
+
+
+def test_wide_cigar_forced_gap_past_certificate_ladder():
+    """A REAL 850 bp deletion (score gap ~2560 at default penalties):
+    the indel-budget certificate exceeds the banded ladder's 767, so
+    the CIGAR must come from the wavefront-flag walk — verified by
+    exact re-scoring and by the 850-D run itself (VERDICT r2 missing
+    #4 'Done' criterion)."""
+    rng = np.random.default_rng(21)
+    # cheap text-gap EXTENSION but costly opens, expensive mismatches
+    # and pattern gaps: the planted single 850-D path is the optimum
+    # (chance-match stitching pays an open per run, mismatching b
+    # against junk ~-400, skipping b via an I-run ~-1630) while the
+    # min-extend-1 certificate g ~ 870 blows past the 767 ladder
+    scheme = GotohScheme(match=2, mismatch_min=6, mismatch_max=6,
+                         gap_open=50, gap_extend=1,
+                         ref_gap_open=30, ref_gap_extend=10)
+    lp, band_w, gap = 400, 1000, 850
+    a = rng.integers(0, 4, 200).astype(np.int8)
+    b = rng.integers(0, 4, 200).astype(np.int8)
+    pats = np.concatenate([a, b])[None, :]
+    lt = lp + 2 * band_w
+    text = np.concatenate([a, rng.integers(0, 4, gap).astype(np.int8),
+                           b, rng.integers(0, 4, lt).astype(np.int8)])
+    texts = text[None, :lt]
+    plens = np.full(1, lp, np.int32)
+    tlens = np.full(1, lt, np.int32)
+    quals = np.full((1, lp), 35, np.int32)
+    kw = dict(scheme=scheme, atype=AlignmentType.SEMI_GLOBAL,
+              band_w=band_w)
+    from nvbio_tpu.alignment.wide import derive_tb_band, TB_BANDS
+
+    out = wide_band_cigar_batch(pats, plens, texts, tlens, quals,
+                                use_pallas=False, **kw)
+    need, _ = derive_tb_band(plens, out["score"], out["p_end"],
+                             out["t_end"], scheme, band_w)
+    assert need[0] > TB_BANDS[-1], "test must exceed the ladder"
     assert out["tb_ok"][0]
-    assert not out["tb_ok"][1]
+    # the optimal path is the planted one: 200M 850D 200M
+    eo, ee, _fo, _fe = gap_penalties(scheme)
+    assert int(out["score"][0]) == lp * scheme.match - (eo + gap * ee)
     s, i_end, j_end = _rescore_runs(out, 0, pats, texts, quals, scheme)
     assert s == int(out["score"][0])
+    assert i_end == lp and j_end == int(out["t_end"][0])
+    runs = [(int(o), int(l))
+            for o, l in zip(out["run_ops"][0], out["run_lens"][0])
+            if l > 0][::-1]
+    assert (2, gap) in runs  # the 850-D run survives intact
 
 
 def test_zero_extend_scheme_uses_original_band():
