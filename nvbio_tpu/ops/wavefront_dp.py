@@ -99,8 +99,8 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
         EMASKc = jnp.int32(EMASK)
         PADc = jnp.int32(PAD_SYMBOL)
         c = pl.program_id(1)
-        plen = plen_ref[0, 0]
-        tlen = tlen_ref[0, 0]
+        plen = plen_ref[0, 0, 0]
+        tlen = tlen_ref[0, 0, 0]
         shape = (NR, 128)
         init_best = jnp.int32(0) if is_local else NEGc
         init_key = (jnp.int32(band_w) if is_local
@@ -176,7 +176,7 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                 tw, H1, H2, F1, E1, Hh1, bH, bK = carry2
                 m = i * 8 + rr
                 d = d0 + m
-                tval = ts_ref[0, m]
+                tval = ts_ref[0, 0, m]
                 tw = jnp.where(lane00, tval, _flat_shift1(tw, PADc))
                 # substitution (twin _subst_scores; pm>=4 staged as 9)
                 s = jnp.where(
@@ -283,7 +283,7 @@ def _make_wavefront_kernel(scheme, atype, band_w, DC, S, SROWS, C0, NR,
                 kk = key - p_end * jnp.int32(KMUL)
                 t_end = jnp.maximum(p_end + kk - jnp.int32(band_w), 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            out_ref[0:1, :] = jnp.where(
+            out_ref[0, 0:1, :] = jnp.where(
                 lane == 0, score,
                 jnp.where(lane == 1, p_end,
                           jnp.where(lane == 2, t_end, 0)))
@@ -301,7 +301,10 @@ def _plan(Lp, Lt, band_w, dc):
     SROWS = S // 128
     C0 = -(-band_w // dc)  # ceil
     WV_req = C0 * S + S + band_w // 2 + 2
-    NR = -(-WV_req // 128)
+    # whole 8-sublane tiles: Mosaic requires non-full blocks 8-divisible
+    # (extra high-r window rows just compute more valid cells — the
+    # row-indexed math and sink gates are unchanged)
+    NR = (-(-WV_req // 128) + 7) // 8 * 8
     ND = Lp + Lt + 2
     NC = -(-ND // dc)
     KMUL = 1 << max(2 * band_w + 2, 2).bit_length()
@@ -419,8 +422,11 @@ def _wavefront_call(patterns, plens, texts, tlens, quals, *, scheme,
                                     C0, NR, NC, KMUL, Lp + 1, interpret,
                                     with_dirs=with_dirs, NR8=NR8)
     grid = (NB, NC)
-    out_shape = jax.ShapeDtypeStruct((NB, 128), jnp.int32)
-    out_specs = pl.BlockSpec((1, 128), lambda b, c: (b, 0),
+    # Mosaic block legality: a block's last two dims must be divisible
+    # by (8, 128) or equal the array's — hence the singleton middle
+    # axes on out/text/lens (block dim == array dim == 1)
+    out_shape = jax.ShapeDtypeStruct((NB, 1, 128), jnp.int32)
+    out_specs = pl.BlockSpec((1, 1, 128), lambda b, c: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     if with_dirs:
         # flag planes: (NB, NC, DC//8, NR8, 128) int32 in HBM — the
@@ -444,24 +450,27 @@ def _wavefront_call(patterns, plens, texts, tlens, quals, *, scheme,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NR, 128), lambda b, c: (b * NC + c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DC), lambda b, c: (b * NC + c, 0),
+            pl.BlockSpec((1, 1, DC), lambda b, c: (b * NC + c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, 1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, 1), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((NR, 128), jnp.int32)] * 8
         + [pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(pm_w, mis_w, tst, plens[:, None], tlens[:, None])
+    )(pm_w, mis_w, tst[:, None, :], plens[:, None, None],
+      tlens[:, None, None])
     if with_dirs:
         out, dirs = out
+        out = out[:, 0]
         res = {"score": out[:, 0], "p_end": out[:, 1],
                "t_end": out[:, 2]}
         return res, dirs.reshape(NB, NC, DC // 8, NR8, 128), (
             DC, SROWS, C0, NR, NC, NR8)
+    out = out[:, 0]
     return {
         "score": out[:, 0],
         "p_end": out[:, 1],
