@@ -50,6 +50,13 @@ def _popc_u32(x):
     return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
+# 2^20 occ blocks (128 Mbp of BWT) per device call: the in-flight
+# working set (word counts + cumsum, both (8 * CH, 4) int32) stays
+# ~270 MB regardless of shard size.  Round 3's unchunked version
+# materialized the full-shard cumsum and OOMed a 16 GB chip at 1.1 Gbp.
+OCC_CHUNK_BLOCKS = 1 << 20
+
+
 def occ_tables_device(bwt_words: np.ndarray):
     """Blocked occ tables computed ON DEVICE from the packed BWT words
     (ref: io/fmindex/fmindex.cpp builds device occ tables at load; here
@@ -58,29 +65,42 @@ def occ_tables_device(bwt_words: np.ndarray):
 
     Upload = the packed BWT (0.25 B/symbol); download = occ_abs
     (int32 (n_blocks, 4)) + occ_sub (int8 (n_blocks, WORDS, 4)).
-    Bit-identical to _occ_tables_host (tested at 100 Mbp).
+    Processed in OCC_CHUNK_BLOCKS-block chunks with a (4,) running
+    carry so HBM use is O(chunk), not O(shard) — one fixed-shape
+    executable serves every full chunk.  Bit-identical to
+    _occ_tables_host (tested at 100 Mbp, tests/test_index_build.py).
     """
     n_blocks = bwt_words.shape[0]
+    CH = OCC_CHUNK_BLOCKS
 
     @jax.jit
-    def f(w):
-        w = w.reshape(-1)  # (n_words16,) uint32, 16 symbols each
+    def f(w, carry):
+        ch = w.shape[0]
+        w = w.reshape(-1)  # (ch * WORDS,) uint32, 16 symbols each
         b0 = w & jnp.uint32(0x55555555)
         b1 = (w >> 1) & jnp.uint32(0x55555555)
         c3 = _popc_u32(b0 & b1)
         c1 = _popc_u32(b0 & ~b1)
         c2 = _popc_u32(b1 & ~b0)
         c0 = 16 - c1 - c2 - c3
-        wc = jnp.stack([c0, c1, c2, c3], axis=1)  # (n_words16, 4) int32
-        cum = jnp.concatenate(
+        wc = jnp.stack([c0, c1, c2, c3], axis=1)  # (ch * WORDS, 4) i32
+        total = carry + jnp.sum(wc, axis=0)
+        cum = carry[None, :] + jnp.concatenate(
             [jnp.zeros((1, 4), jnp.int32), jnp.cumsum(wc, axis=0)[:-1]])
         block_cum = cum[::WORDS]
-        occ_sub = (cum.reshape(n_blocks, WORDS, 4)
+        occ_sub = (cum.reshape(ch, WORDS, 4)
                    - block_cum[:, None, :]).astype(jnp.int8)
-        return block_cum, occ_sub
+        return block_cum, occ_sub, total
 
-    occ_abs, occ_sub = f(jnp.asarray(bwt_words))
-    return np.asarray(occ_abs), np.asarray(occ_sub)
+    occ_abs = np.empty((n_blocks, 4), dtype=np.int32)
+    occ_sub = np.empty((n_blocks, WORDS, 4), dtype=np.int8)
+    carry = jnp.zeros((4,), jnp.int32)
+    for s in range(0, n_blocks, CH):
+        e = min(s + CH, n_blocks)
+        a, b, carry = f(jnp.asarray(bwt_words[s:e]), carry)
+        occ_abs[s:e] = np.asarray(a)
+        occ_sub[s:e] = np.asarray(b)
+    return occ_abs, occ_sub
 
 
 def build_fm_arrays(

@@ -8,12 +8,15 @@ This kernel keeps the whole scan inside one Pallas program:
 
 - batch across the 128 VPU lanes (one alignment per lane, tile TB);
 - the W bit-vector words across sublanes (W_PAD scales with the
-  pattern: ceil(Lp/32) rounded to whole 8-sublane tiles, so any
-  length fits until the VMEM model runs out around ~8 kb; the word
+  pattern: ceil(Lp/32) rounded to whole 8-sublane tiles; the word
   axis IS the sublane axis, so the carry-propagating add inside
   Myers' recurrence becomes a log2(W_PAD)-step Kogge-Stone
   carry-lookahead of sublane shifts);
-- text staged (Lt, TB) in VMEM; each step is ~45 full-width VPU ops.
+- text advances through a CH_T-column grid axis with the bit-vector
+  state (vp/vn/dist/best) persisting in VMEM scratch across chunks,
+  so the VMEM working set is independent of total text length and a
+  _vmem_guard-chosen chunk size carries patterns to 32 kb+
+  (tests/test_myers.py); each step is ~45 full-width VPU ops.
 
 Unsigned compares are emulated with the sign-flip trick (x ^ 0x8000
 0000 signed-compares like uint32) — v5e Mosaic has no native uint32
