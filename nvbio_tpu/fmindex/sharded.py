@@ -54,14 +54,24 @@ def _shard_bounds(n: int, shard_bp: int, overlap: int):
 
 def _build_one_shard(symbols, start, seg_end, sa_sample, lut_k,
                      bi_sample, occ_device):
+    import sys
+    import time
+
     seg = np.ascontiguousarray(symbols[start:seg_end])
+    t0 = time.time()
     sa = suffix_array(seg)
+    t1 = time.time()
     fm, ssa = build_fm_index(seg, sa_sample=sa_sample, sa=sa,
                              bi_sample=bi_sample, occ_device=occ_device)
+    t2 = time.time()
     lut = None
     if lut_k > 0:
         lo, hi = build_kmer_lut(seg, sa, k=lut_k)
         lut = (jnp.asarray(lo), jnp.asarray(hi))
+    t3 = time.time()
+    print(f"[build_index] shard @{start}: {len(seg)/1e6:.0f} Mbp  "
+          f"sa {t1-t0:.1f}s  bwt+occ{'(dev)' if occ_device else ''}+ssa "
+          f"{t2-t1:.1f}s  lut {t3-t2:.1f}s", file=sys.stderr, flush=True)
     return (fm, ssa, lut, start, seg_end - start)
 
 

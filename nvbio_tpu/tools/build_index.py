@@ -43,7 +43,9 @@ def main(argv=None):
     p.add_argument("--algorithm", choices=["auto", "sais", "pd", "device"],
                    default="auto",
                    help="suffix sort: native C++ SA-IS (any size), NumPy "
-                   "prefix-doubling, or on-device lax.sort prefix-doubling")
+                   "prefix-doubling, or the on-device sort (bucketed "
+                   "chunked lax.sort, HBM-bounded at shard scale; small "
+                   "texts use whole-array device prefix-doubling)")
     p.add_argument("--device-occ", action="store_true",
                    help="compute the blocked occ tables on the "
                         "accelerator (packed BWT up, occ tables down; "
@@ -118,8 +120,12 @@ def main(argv=None):
                 sa = suffix_array_pd(g["symbols"])
         elif args.algorithm == "pd":
             sa = suffix_array_pd(g["symbols"])
-        else:
+        elif len(g["symbols"]) <= 8_000_000:
+            # small enough for the whole-array device prefix doubling
             sa = suffix_array_device(g["symbols"])
+        else:
+            from ..sufsort import suffix_array_bucketed
+            sa = suffix_array_bucketed(g["symbols"], verbose=True)
         n = len(g["symbols"])
         dt = time.time() - t1
         print(f"[build_index] suffix sort ({args.algorithm}): {dt:.1f}s "

@@ -133,3 +133,41 @@ def test_suffix_array_device_mbp_and_repetitive():
     ])
     np.testing.assert_array_equal(suffix_array_device(t2),
                                   suffix_array(t2))
+
+
+def test_suffix_array_bucketed_adversarial():
+    """Shard-scale bucketed device sort (sufsort/bucketed.py) vs host
+    SA-IS: forced multi-chunk splits, homopolymers, tandems at several
+    periods, binary alphabet, and short texts (PD fallback)."""
+    from nvbio_tpu.sufsort import suffix_array_bucketed
+
+    rng = np.random.default_rng(11)
+    unit7 = rng.integers(0, 4, 7).astype(np.uint8)
+    unit100 = rng.integers(0, 4, 100).astype(np.uint8)
+    cases = [
+        rng.integers(0, 4, 5000).astype(np.uint8),
+        np.zeros(6000, np.uint8),
+        np.tile(unit7, 1200),
+        np.tile(unit100, 90),
+        np.concatenate([np.zeros(5000, np.uint8),
+                        rng.integers(0, 4, 5000).astype(np.uint8),
+                        np.zeros(5000, np.uint8)]),
+        rng.integers(0, 2, 9000).astype(np.uint8),
+        rng.integers(0, 4, 100).astype(np.uint8),  # < 4096: PD path
+    ]
+    for i, t in enumerate(cases):
+        np.testing.assert_array_equal(
+            suffix_array_bucketed(t, chunk_cap=4096), suffix_array(t),
+            err_msg=f"case {i}")
+
+
+def test_suffix_array_bucketed_repeat_structured():
+    """The hg campaign's repeat classes (ALUs, segdups, tandems) at
+    CI scale drive every phase: oversized buckets, the 64-symbol
+    refinement ceiling, and multiple doubling rounds."""
+    from nvbio_tpu.sufsort import suffix_array_bucketed
+    from nvbio_tpu.utils.simulate import repeat_structured_genome
+
+    t = repeat_structured_genome(1_000_000, seed=7)[0]
+    np.testing.assert_array_equal(
+        suffix_array_bucketed(t, chunk_cap=1 << 18), suffix_array(t))
