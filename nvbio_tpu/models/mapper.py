@@ -285,7 +285,6 @@ def candidate_stage(
     (ref: best_approx_inl.h stages before reduce).
     """
     R, L = reads.shape
-    S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
     CAP = params.max_hits_per_seed
     n = fm.n
 
@@ -293,9 +292,25 @@ def candidate_stage(
         reads, lens, quals, uniform_shift=uniform_shift)
 
     # --- seed & map (FM backward search) ---
-    seeds, offsets, sval = extract_uniform_seeds(
-        all_reads, lens2, params.seed_len, params.seed_interval
-    )
+    if params.seed_slots > 0:
+        # per-read -i (ref: params.cpp SimpleFunc per read): interval
+        # computed from each read's own length on device; slot count
+        # sized by the caller for the chunk's densest read
+        from ..strings.seeds import extract_seeds_per_read
+
+        S = params.seed_slots
+        seeds, offsets, sval = extract_seeds_per_read(
+            all_reads, lens2, params.seed_len, S,
+            params.seed_interval_fn, params.seed_interval_a,
+            params.seed_interval_b)
+    else:
+        S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
+        seeds, offsets, sval = extract_uniform_seeds(
+            all_reads, lens2, params.seed_len, params.seed_interval
+        )
+        # (S,) static offsets -> per-read layout shared with the
+        # dynamic path (XLA folds the broadcast)
+        offsets = jnp.broadcast_to(offsets[None, :], (2 * R, S))
     flat_seeds = seeds.reshape(2 * R * S, params.seed_len)
     lut_k = params.lut_k if lut is not None else 0
     if fm2 is not None:
@@ -332,7 +347,7 @@ def candidate_stage(
     rows_sel = jnp.take_along_axis(rows, order, axis=1)
     ok_sel = jnp.take_along_axis(prio, order, axis=1) < INF
     offs_flat = jnp.broadcast_to(
-        offsets[None, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
+        offsets[:, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
     offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
     capacity = max(int(2 * R * KLOC * params.locate_frac) // 8 * 8, 512)
     pos, ok_loc, n_drop = locate_compact(
@@ -377,7 +392,7 @@ def candidate_stage(
                      & ~ok_v2.reshape(2 * R, KV)).any(axis=1)
         pos_v = pos_v.reshape(rows_v.shape)
         ok_v = ok_v2.reshape(rows_v.shape)
-        cand_v = jnp.where(ok_v, pos_v - offsets[None, :, None, None],
+        cand_v = jnp.where(ok_v, pos_v - offsets[:, :, None, None],
                            SENT)
         cand_v = jnp.where(cand_v < 0, 0, cand_v)
         cand = jnp.concatenate(
@@ -759,23 +774,41 @@ class Mapper:
             grouped.append(uniq)
         return grouped
 
-    def _chunk_params(self, max_len: int) -> MapperParams:
-        """Per-chunk params: when ``seed_interval_fn`` is set, the
-        Bowtie2 ``-i`` interval function is evaluated at the chunk's
-        longest READ length (ref: params.cpp SimpleFunc per read; here
-        per chunk — uniform-length batches get exactly the per-read
-        value, mixed-length files one value per length group instead
-        of one per file, SURVEY.md §5.7)."""
+    def _chunk_params(self, max_len: int,
+                      min_len: int | None = None) -> MapperParams:
+        """Per-chunk params for the Bowtie2 ``-i`` interval function
+        (ref: params.cpp SimpleFunc per read, SURVEY.md §5.7).
+
+        Uniform-length chunks (min_len is None or == max_len) resolve
+        the function to one static interval — exactly the per-read
+        value.  Mixed-length chunks switch candidate_stage to the TRUE
+        per-read path (params.seed_slots > 0): the interval is
+        evaluated from each read's own length on device, with the
+        static slot count sized for the densest length in
+        [min_len, max_len]."""
         p = self.params
         if p.seed_interval_fn is None:
             return p
+        from dataclasses import replace
+
         from .params import eval_simple_func
-        iv = max(1, int(eval_simple_func(
-            p.seed_interval_fn, p.seed_interval_a, p.seed_interval_b,
-            max(int(max_len), 1)) + 0.5))
+
+        def iv_of(length: int) -> int:
+            return max(1, int(eval_simple_func(
+                p.seed_interval_fn, p.seed_interval_a,
+                p.seed_interval_b, max(int(length), 1)) + 0.5))
+
+        max_len = max(int(max_len), 1)
+        if min_len is not None and int(min_len) != max_len:
+            from ..strings.seeds import num_uniform_seeds
+            slots = max(
+                (num_uniform_seeds(length, p.seed_len, iv_of(length))
+                 for length in range(max(int(min_len), p.seed_len),
+                                     max_len + 1)), default=1)
+            return replace(p, seed_slots=max(slots, 1))
+        iv = iv_of(max_len)
         if iv == p.seed_interval:
             return p
-        from dataclasses import replace
         return replace(p, seed_interval=iv)
 
     def _dispatch_chunk(self, seqs, lens, quals, params=None):
@@ -783,7 +816,8 @@ class Mapper:
         pulled to the host here)."""
         R = seqs.shape[0]
         params = params or self._chunk_params(
-            lens.max() if len(lens) else seqs.shape[1])
+            lens.max() if len(lens) else seqs.shape[1],
+            lens.min() if len(lens) else None)
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
@@ -845,8 +879,9 @@ class Mapper:
         superset of the last — so the final round's best/second
         evidence subsumes every earlier round's.  Reads that stop
         overflowing exit the ladder early."""
-        base = self._chunk_params(lens.max() if len(lens) else
-                                  seqs.shape[1])
+        base = self._chunk_params(
+            lens.max() if len(lens) else seqs.shape[1],
+            lens.min() if len(lens) else None)
         overflow = np.asarray(fwd["overflow"])[:R].copy()
         for rnd in range(2, base.max_effort + 1):
             idx = np.flatnonzero(overflow)

@@ -524,7 +524,8 @@ class MeshShardedMapper(ShardedMapper):
     def _dispatch_chunk(self, seqs, lens, quals, params=None):
         R = seqs.shape[0]
         params = params or self._chunk_params(
-            lens.max() if len(lens) else seqs.shape[1])
+            lens.max() if len(lens) else seqs.shape[1],
+            lens.min() if len(lens) else None)
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         fwd, walk = mesh_map_batch(
             self._stacked, jnp.asarray(seqs),

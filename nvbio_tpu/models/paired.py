@@ -512,7 +512,9 @@ class PairedMapper(Mapper):
         # serves the pair, from the longer mate's max length
         params = self._chunk_params(
             max(l1.max() if len(l1) else 0,
-                l2.max() if len(l2) else 0, 1))
+                l2.max() if len(l2) else 0, 1),
+            min(l1.min() if len(l1) else 1,
+                l2.min() if len(l2) else 1))
         (s1p, l1p, q1p), (s2p, l2p, q2p), args = self._stage_pair_batch(
             s1, l1, q1, s2, l2, q2)
         m1, m2, pair = pe_map_batch(

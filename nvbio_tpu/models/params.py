@@ -37,6 +37,13 @@ class MapperParams:
     seed_interval_fn: str | None = None
     seed_interval_a: float = 0.0
     seed_interval_b: float = 0.0
+    # > 0 switches candidate_stage to TRUE per-read -i: the interval
+    # is evaluated from each read's own length on device and this is
+    # the static seed-slot count (sized by Mapper._chunk_params for
+    # the chunk's densest read).  Set internally for mixed-length
+    # chunks when seed_interval_fn is given; uniform-length chunks
+    # keep the cheaper static-offset path (identical seeds).
+    seed_slots: int = 0
     # approximate seeding (bowtie2 -N: 0 or 1 mismatches in the seed,
     # ref: mapping_inl.h map_approx over fmindex/backtrack.h)
     seed_mismatches: int = 0

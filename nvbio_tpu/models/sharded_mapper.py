@@ -389,7 +389,8 @@ class ShardedMapper(Mapper):
 
     def _dispatch_chunk(self, seqs, lens, quals, params=None):
         params = params or self._chunk_params(
-            lens.max() if len(lens) else seqs.shape[1])
+            lens.max() if len(lens) else seqs.shape[1],
+            lens.min() if len(lens) else None)
         R = seqs.shape[0]
         seqs, lens, quals = self._pad_chunk(seqs, lens, quals)
         jr = jnp.asarray(seqs)

@@ -36,3 +36,40 @@ def extract_uniform_seeds(reads, lens, seed_len: int, interval: int):
     )
     valid = offsets[None, :] + seed_len <= lens[:, None]
     return seeds, offsets, valid
+
+
+def eval_simple_func_device(fn: str, a: float, b: float, x):
+    """Bowtie2 SimpleFunc FN,A,B of a traced length array `x`
+    (device twin of models.params.eval_simple_func; `fn` static)."""
+    xf = x.astype(jnp.float32)
+    if fn == "C":
+        return jnp.full_like(xf, a)
+    g = {"L": lambda: xf,
+         "S": lambda: jnp.sqrt(xf),
+         "G": lambda: jnp.log(jnp.maximum(xf, 1.0))}[fn]()
+    return a + b * g
+
+
+def extract_seeds_per_read(reads, lens, seed_len: int, num_seeds: int,
+                           fn: str, a: float, b: float):
+    """Per-read ``-i`` seed extraction (ref: bowtie2 params.cpp
+    SimpleFunc evaluated per READ; nvbio/strings/seeds.h generates the
+    per-read coordinate list).  The interval is computed on device
+    from each read's length; `num_seeds` is the static slot count
+    (callers size it for the chunk's densest read; surplus slots mask
+    invalid).
+
+    Returns (seeds (R, num_seeds, seed_len), offsets (R, num_seeds)
+    int32, valid (R, num_seeds)).
+    """
+    R, L = reads.shape
+    iv = jnp.maximum(
+        jnp.floor(eval_simple_func_device(fn, a, b, lens) + 0.5), 1.0
+    ).astype(jnp.int32)
+    s = jnp.arange(num_seeds, dtype=jnp.int32)
+    offsets = s[None, :] * iv[:, None]  # (R, S)
+    valid = offsets + seed_len <= lens[:, None]
+    offsets = jnp.where(valid, offsets, 0)  # keep gathers in range
+    idx = offsets[:, :, None] + jnp.arange(seed_len, dtype=jnp.int32)
+    seeds = jnp.take_along_axis(reads[:, None, :], idx, axis=2)
+    return seeds, offsets, valid

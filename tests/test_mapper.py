@@ -318,3 +318,49 @@ def test_uniform_shift_revcomp_path_identical(mapper):
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]),
                                       np.asarray(b[k]), err_msg=k)
+
+
+def test_per_read_seed_interval_mixed_lengths():
+    """TRUE per-read -i (params.cpp SimpleFunc per read): a
+    mixed-length chunk must seed every read at ITS OWN interval —
+    verified against mapping each length group separately, where the
+    per-chunk static path is exact."""
+    genome = random_genome(200_000, seed=21)
+    rng = np.random.default_rng(3)
+    lens_mix = np.array([60, 100, 150, 60, 100, 150, 75, 125] * 8,
+                        np.int32)
+    Lp = 160
+    seqs = np.full((len(lens_mix), Lp), 7, np.uint8)
+    quals = np.zeros((len(lens_mix), Lp), np.uint8)
+    starts = rng.integers(0, 200_000 - Lp, len(lens_mix))
+    for i, (s, ln) in enumerate(zip(starts, lens_mix)):
+        frag = genome[s:s + ln].copy()
+        err = rng.random(ln) < 0.01
+        frag[err] = (frag[err] + 1 + rng.integers(0, 3, err.sum())) % 4
+        seqs[i, :ln] = frag
+        quals[i, :ln] = 35
+
+    fn = dict(seed_interval_fn="S", seed_interval_a=1.0,
+              seed_interval_b=1.15, sa_sample=16)
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    m = Mapper(fm, ssa, genome, params=MapperParams(
+        batch_size=len(lens_mix), **fn))
+    # force ONE mixed chunk (bypass length bucketing) to exercise the
+    # dynamic path: dispatch directly with the mixed batch
+    p = m._chunk_params(int(lens_mix.max()), int(lens_mix.min()))
+    assert p.seed_slots > 0  # the per-read path engaged
+    res = m.map_reads(seqs, lens_mix, quals)
+
+    # reference: each uniform length group mapped alone (static path,
+    # exact per-read interval by construction)
+    for ln in np.unique(lens_mix):
+        i = np.flatnonzero(lens_mix == ln)
+        mg = Mapper(fm, ssa, genome, params=MapperParams(
+            batch_size=len(i), **fn))
+        ref = mg.map_reads(seqs[i][:, :ln], lens_mix[i], quals[i][:, :ln])
+        for j, r in zip(i, ref):
+            got = res[j]
+            assert got.aligned == r.aligned
+            if r.aligned:
+                assert (got.pos, got.strand, got.score) == \
+                    (r.pos, r.strand, r.score), (ln, j)
