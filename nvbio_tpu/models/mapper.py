@@ -172,39 +172,66 @@ def extend_candidates(
     cand = jnp.sort(jnp.where(first, cand, SENT), axis=1)[:, :C]  # (2R, C)
     cand_ok = cand < SENT
 
-    # --- extension scoring (banded Gotoh) ---
+    # --- extension scoring (banded Gotoh), cross-read compacted ---
+    # Most of the (R2, C) candidate matrix is empty (1%-error reads
+    # place 1-3 unique diagonals; round-4 hg profile: the dense
+    # extension was 957 of 1323 ms/stage).  Like locate_compact, the
+    # valid candidates are compacted SLOT-RANK-MAJOR (every read's
+    # rank-j diagonal before any read's rank-j+1, so the first C *
+    # extend_frac candidates per read always survive) into an
+    # extend_frac-budgeted dense batch; the DP, its window gathers and
+    # its pattern staging all shrink by the compaction factor.  Reads
+    # whose candidates drop surface in cand_overflow -> escalation.
     win_start = jnp.minimum(cand, jnp.maximum(n - 1, 0)).astype(jnp.int32)
-    tlens = jnp.clip(n - win_start, 0, LT).reshape(-1)
-    pats = jnp.repeat(all_reads, C, axis=0)
-    pquals = jnp.repeat(all_quals, C, axis=0)
-    plens = jnp.repeat(lens2, C)
+    EXT_CAP = max(int(R2 * C * params.extend_frac) // 8 * 8, 1024)
+    EXT_CAP = min(EXT_CAP, R2 * C)
+    okT = cand_ok.T.reshape(-1)  # (C * R2,) slot-rank-major
+    wsT = win_start.T.reshape(-1)
+    ridxT = jnp.broadcast_to(
+        jnp.arange(R2, dtype=jnp.int32)[None, :], (C, R2)).reshape(-1)
+    cpos = jnp.cumsum(okT.astype(jnp.int32)) - 1
+    keep = okT & (cpos < EXT_CAP)
+    tgt = jnp.where(keep, cpos, EXT_CAP)
+    ws_c = jnp.zeros(EXT_CAP, jnp.int32).at[tgt].set(wsT, mode="drop")
+    ridx_c = jnp.zeros(EXT_CAP, jnp.int32).at[tgt].set(ridxT, mode="drop")
+    n_kept = keep.sum()
+    lane_ok = jnp.arange(EXT_CAP, dtype=jnp.int32) < n_kept
+    pats = all_reads[ridx_c]
+    pquals = all_quals[ridx_c]
+    plens = jnp.where(lane_ok, lens2[ridx_c], 0)  # pad lanes exit early
+    tlens = jnp.clip(n - ws_c, 0, LT)
     from ..ops.banded_dp import LONG_THRESHOLD
     if use_pallas and gwords is not None and L <= LONG_THRESHOLD:
         # packed-word windows: ~LT/16 gathered elements per candidate
         # instead of LT (the symbol-window gather dominated this stage)
         res = banded_score_pallas_packed(
-            pats, plens, gwords, win_start.reshape(-1), tlens, pquals,
+            pats, plens, gwords, ws_c, tlens, pquals,
             scheme=params.scheme, atype=params.atype, band_w=W,
         )
     else:
-        gidx = win_start[:, :, None] + jnp.arange(LT, dtype=jnp.int32)
-        texts = genome[gidx.reshape(R2 * C, LT)]
+        gidx = ws_c[:, None] + jnp.arange(LT, dtype=jnp.int32)
+        texts = genome[gidx]
         score_fn = banded_score_pallas if use_pallas else banded_score_batch
         res = score_fn(
             pats, plens, texts, tlens, pquals,
             scheme=params.scheme, atype=params.atype, band_w=W,
         )
-    scores = jnp.where(
-        cand_ok.reshape(-1) & (plens > 0), res["score"], NEG_INF
-    ).reshape(R2, C)
+    # scatter back to the (C, R2) slot layout; dropped slots NEG_INF
+    back = jnp.minimum(cpos, EXT_CAP - 1)
+    scores = jnp.where(keep, res["score"][back], NEG_INF) \
+        .reshape(C, R2).T
+    t_end = jnp.where(keep, res["t_end"][back], 0).reshape(C, R2).T
+    p_end = jnp.where(keep, res["p_end"][back], 0).reshape(C, R2).T
+    ext_dropped = (okT & ~keep).reshape(C, R2).any(axis=0)  # (R2,)
 
     to_r2c = lambda a: a.reshape(2, R, C).transpose(1, 0, 2).reshape(R, 2 * C)
     return {
         "score": to_r2c(scores),
         "win_start": to_r2c(win_start),
-        "t_end": to_r2c(res["t_end"].reshape(R2, C)),
-        "p_end": to_r2c(res["p_end"].reshape(R2, C)),
-        "cand_overflow": (n_uniq > C).reshape(2, R).any(axis=0),
+        "t_end": to_r2c(t_end),
+        "p_end": to_r2c(p_end),
+        "cand_overflow": ((n_uniq > C).reshape(2, R).any(axis=0)
+                          | ext_dropped.reshape(2, R).any(axis=0)),
     }
 
 

@@ -85,6 +85,13 @@ class MapperParams:
     # least-prioritized hits first on hit-dense (repetitive) batches
     locate_frac: float = 0.25
     mm_locate_frac: float = 0.125
+    # extension compaction budget as a fraction of the (2R x
+    # max_candidates) slot matrix (models/mapper.py extend_candidates):
+    # valid candidates are extended through a dense compacted batch of
+    # this capacity (slot-rank-major, so every read's first
+    # C*extend_frac diagonals always survive).  1.0 extends every
+    # slot; drops surface as cand_overflow -> escalation.
+    extend_frac: float = 0.25
     # paired-end (bowtie2 --minins/--maxins, FR orientation default)
     minins: int = 0
     maxins: int = 500
