@@ -69,9 +69,11 @@ def _build_one_shard(symbols, start, seg_end, sa_sample, lut_k,
         lo, hi = build_kmer_lut(seg, sa, k=lut_k)
         lut = (jnp.asarray(lo), jnp.asarray(hi))
     t3 = time.time()
-    print(f"[build_index] shard @{start}: {len(seg)/1e6:.0f} Mbp  "
-          f"sa {t1-t0:.1f}s  bwt+occ{'(dev)' if occ_device else ''}+ssa "
-          f"{t2-t1:.1f}s  lut {t3-t2:.1f}s", file=sys.stderr, flush=True)
+    if len(seg) >= 50_000_000:  # stage table only at real scale
+        print(f"[build_index] shard @{start}: {len(seg)/1e6:.0f} Mbp  "
+              f"sa {t1-t0:.1f}s  bwt+occ{'(dev)' if occ_device else ''}"
+              f"+ssa {t2-t1:.1f}s  lut {t3-t2:.1f}s",
+              file=sys.stderr, flush=True)
     return (fm, ssa, lut, start, seg_end - start)
 
 
