@@ -48,7 +48,16 @@ Peak HBM: packed text + ~6 chunk-sized i32/u32 operands — independent
 of n.  Peak host: the 8-symbol key + argsort arrays (~12 B/bp).
 
 Oracle equality vs host SA-IS: tests/test_sufsort.py (random, tandem /
-homopolymer adversarial, 100 Mbp scale).
+homopolymer adversarial, forced multi-chunk, 1 Mbp repeat-structured
+at CI scale) and a 100 Mbp repeat-structured run on the real chip
+(bit-identical; BENCHMARKS.md "Device suffix sort").  Measured there:
+host SA-IS 28 s vs 493 s through the degraded axon tunnel — the
+device path is transfer-bound in THIS environment (each chunk ships
+~100 MB of rank/suffix operands + per-round host syncs), so host
+SA-IS remains the config-4 default here; on a directly-attached host
+the same traffic rides PCIe at GB/s and the sort itself is device-
+speed.  The HBM-bounded design (never more than packed text + 6
+chunk operands resident) is what this module establishes.
 """
 
 from __future__ import annotations
