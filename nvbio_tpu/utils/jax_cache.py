@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache():
+def enable_compilation_cache(min_compile_secs: float = 1.0):
     d = os.environ.get("NVBIO_TPU_CACHE")
     if d == "0":
         return
@@ -23,7 +23,8 @@ def enable_compilation_cache():
         import jax
 
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:

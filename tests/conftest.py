@@ -23,6 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent on-disk XLA executable cache (same one the CLI tools
+# use): the suite's wall time is dominated by XLA:CPU compiles of the
+# mapper/kernel programs, which are identical run to run — the first
+# suite run populates the cache, later runs deserialize instead of
+# recompiling (VERDICT r3 weak #4).  NVBIO_TPU_CACHE=0 disables.
+from nvbio_tpu.utils.jax_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(min_compile_secs=0.5)
+
 import pytest  # noqa: E402
 
 
