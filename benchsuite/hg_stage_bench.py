@@ -92,9 +92,8 @@ def main(argv=None):
         save_sharded_index(prefix, sidx, genome, ["hgr"], [n])
         print(f"[hg] index built in {time.time()-t0:.0f}s",
               file=sys.stderr)
-    sidx = load_sharded_index(prefix)[0] \
-        if isinstance(load_sharded_index(prefix), tuple) \
-        else load_sharded_index(prefix)
+    loaded = load_sharded_index(prefix)
+    sidx = loaded[0] if isinstance(loaded, tuple) else loaded
 
     sim = simulate_reads(genome, args.batch, read_len=args.read_len,
                          error_rate=0.01, seed=args.seed + 1)
