@@ -222,6 +222,16 @@ def build_kmer_lut(text: np.ndarray, sa: np.ndarray | None = None,
     del sa  # ranges are position-independent (docstring)
     text = np.asarray(text, dtype=np.uint8)
     n = len(text)
+    from ..native import kmer_hist_native
+    counts = kmer_hist_native(text, k)
+    if counts is not None:
+        # native path: radix-partitioned single-pass histogram (~8x
+        # the blocked-NumPy fallback below at hg-shard scale)
+        cum = np.cumsum(counts)
+        probes = np.arange(1 << (2 * k), dtype=np.int64) * 2
+        lo = (cum[probes] + 1).astype(np.int32)
+        hi = (cum[probes + 1] + 1).astype(np.int32)
+        return lo, hi
     # rolling k-symbol keys over text padded with 'A' (short suffixes
     # get a padded key; the is_full bit orders them first), built in
     # 2M-position cache blocks: the k rounds of shift/cast/or re-touch

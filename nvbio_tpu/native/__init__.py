@@ -67,6 +67,7 @@ def sais_lib():
             L.sais_u8.restype = ctypes.c_long
             L.sais_u8_i32.restype = ctypes.c_long
             L.sais_bwt.restype = ctypes.c_long
+            L.kmer_hist.restype = ctypes.c_long
             _sais_lib = L
         except Exception:
             _sais_lib = None
@@ -101,6 +102,26 @@ def sais_native(text: np.ndarray):
     if r != 0:
         raise RuntimeError("sais_u8 failed")
     return sa
+
+
+def kmer_hist_native(text: np.ndarray, k: int):
+    """Histogram of k-mer suffix keys (key2 = packed_key*2 + is_full)
+    over all suffixes of `text`, as (2 << 2k,) int64 — the multiset
+    fmindex.build.build_kmer_lut cumsums into SA ranges.  None if the
+    native lib is unavailable."""
+    L = sais_lib()
+    if L is None or not (1 <= k <= 15):
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    counts = np.zeros(2 << (2 * k), dtype=np.int64)
+    r = L.kmer_hist(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(len(t)), ctypes.c_int(k),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if r != 0:
+        return None
+    return counts
 
 
 def sais_bwt_native(text: np.ndarray, sa: np.ndarray):

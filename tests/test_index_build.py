@@ -55,6 +55,30 @@ def test_lut_histogram_matches_sa_searchsorted():
     np.testing.assert_array_equal(hi, hi_ref.astype(np.int32))
 
 
+def test_lut_native_histogram_matches_numpy_fallback():
+    """The C++ kmer_hist fast path (both its direct and
+    radix-partitioned branches) equals the blocked-NumPy fallback,
+    including the short-suffix (is_full bit) and n<k edges."""
+    from nvbio_tpu import native as nat
+    from nvbio_tpu.fmindex import build as B
+
+    if nat.sais_lib() is None:
+        pytest.skip("no native toolchain")
+    # k=6 -> direct-increment branch; k=11 -> partitioned branch
+    # (chunk size 2^20, so 2^21+777 exercises chunk carry + remainder)
+    for n, k in [(3, 7), (50_000, 6), ((1 << 21) + 777, 11)]:
+        g = random_genome(n, seed=100 + k)
+        lo_n, hi_n = B.build_kmer_lut(g, k=k)
+        orig = nat.kmer_hist_native
+        nat.kmer_hist_native = lambda *a: None
+        try:
+            lo_p, hi_p = B.build_kmer_lut(g, k=k)
+        finally:
+            nat.kmer_hist_native = orig
+        np.testing.assert_array_equal(lo_n, lo_p)
+        np.testing.assert_array_equal(hi_n, hi_p)
+
+
 def test_parallel_shard_build_matches_sequential():
     """n_procs=2 worker-process shard builds produce arrays
     bit-identical to the sequential builder."""
