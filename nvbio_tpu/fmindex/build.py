@@ -117,19 +117,27 @@ def build_fm_arrays(
     n = len(text)
     if sa is None:
         sa = suffix_array(text)
-    bwt, primary = bwt_from_sa(text, sa)
     m = n + 1  # BWT length including sentinel slot
-
     n_blocks = (m + BLOCK - 1) // BLOCK + 1  # +1: queries at i = n+1
-    bwt_pad = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
-    bwt_pad[:m] = bwt
-    # (the dummy 'A' at `primary` is counted by the occ build and
-    # subtracted at query time)
-    bwt_words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
-    if occ_device:
-        occ_abs, occ_sub = occ_tables_device(bwt_words)
+
+    from ..native import fm_bwt_occ_native
+    fused = None if occ_device else fm_bwt_occ_native(text, sa)
+    if fused is not None:
+        # one C++ pass: BWT gather + 2-bit packing + blocked occ
+        # (bit-identical to the NumPy stages below; the dummy 'A' at
+        # `primary` is counted and subtracted at query time)
+        bwt_words, occ_abs, occ_sub, primary = fused
     else:
-        occ_abs, occ_sub = _occ_tables_host(bwt_pad, n_blocks)
+        bwt, primary = bwt_from_sa(text, sa)
+        bwt_pad = np.zeros(n_blocks * BLOCK, dtype=np.uint8)
+        bwt_pad[:m] = bwt
+        # (the dummy 'A' at `primary` is counted by the occ build and
+        # subtracted at query time)
+        bwt_words = pack_2bit(bwt_pad).reshape(n_blocks, WORDS)
+        if occ_device:
+            occ_abs, occ_sub = occ_tables_device(bwt_words)
+        else:
+            occ_abs, occ_sub = _occ_tables_host(bwt_pad, n_blocks)
 
     counts = np.bincount(text, minlength=4)
     C = np.zeros(5, dtype=np.int32)

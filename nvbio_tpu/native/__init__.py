@@ -68,6 +68,8 @@ def sais_lib():
             L.sais_u8_i32.restype = ctypes.c_long
             L.sais_bwt.restype = ctypes.c_long
             L.kmer_hist.restype = ctypes.c_long
+            L.fm_bwt_occ_i32.restype = ctypes.c_long
+            L.fm_bwt_occ_i64.restype = ctypes.c_long
             _sais_lib = L
         except Exception:
             _sais_lib = None
@@ -102,6 +104,44 @@ def sais_native(text: np.ndarray):
     if r != 0:
         raise RuntimeError("sais_u8 failed")
     return sa
+
+
+def fm_bwt_occ_native(text: np.ndarray, sa: np.ndarray):
+    """Fused BWT + 2-bit word packing + blocked occ tables in one C++
+    pass over the suffix array (layout of fmindex/build.py: BLOCK=128,
+    WORDS=8).  Returns (bwt_words (n_blocks, 8) uint32, occ_abs
+    (n_blocks, 4) int32, occ_sub (n_blocks, 8, 4) int8, primary int)
+    or None if the native lib is unavailable."""
+    L = sais_lib()
+    if L is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(t)
+    if n == 0:
+        return None
+    n_blocks = (n + 1 + 127) // 128 + 1
+    bwt_words = np.empty((n_blocks, 8), dtype=np.uint32)
+    occ_abs = np.empty((n_blocks, 4), dtype=np.int32)
+    occ_sub = np.empty((n_blocks, 8, 4), dtype=np.int8)
+    primary = ctypes.c_longlong(-1)
+    c = ctypes
+    if sa.dtype == np.int32:
+        s = np.ascontiguousarray(sa, dtype=np.int32)
+        fn, ptr = L.fm_bwt_occ_i32, c.POINTER(c.c_int32)
+    else:
+        s = np.ascontiguousarray(sa, dtype=np.int64)
+        fn, ptr = L.fm_bwt_occ_i64, c.POINTER(c.c_int64)
+    r = fn(
+        t.ctypes.data_as(c.POINTER(c.c_ubyte)), c.c_long(n),
+        s.ctypes.data_as(ptr),
+        bwt_words.ctypes.data_as(c.POINTER(c.c_uint32)),
+        occ_abs.ctypes.data_as(c.POINTER(c.c_int32)),
+        occ_sub.ctypes.data_as(c.POINTER(c.c_byte)),
+        c.byref(primary),
+    )
+    if r != 0:
+        return None
+    return bwt_words, occ_abs, occ_sub, int(primary.value)
 
 
 def kmer_hist_native(text: np.ndarray, k: int):

@@ -278,6 +278,62 @@ long run_sais(const uint8_t* text, long n, O* sa_out) {
 
 }  // namespace
 
+namespace {
+
+// Fused BWT + packed words + blocked occ tables in ONE pass over the
+// suffix array (fmindex/build.py build_fm_arrays).  Replaces four
+// NumPy stages (bwt gather, pack_2bit's ~12x-traffic shift/reduce,
+// the occ slab loop, and a (n/16, 4) int64 cumsum buffer) with a
+// single traversal whose only non-streaming access is the unavoidable
+// text[sa[i]-1] gather (software-prefetched ~24 rows ahead).
+//
+// Layout matches fmindex/build.py exactly: BLOCK=128 symbols/block,
+// WORDS=8 uint32 words/block (16 symbols/word, LSB-first 2-bit),
+// n_blocks = ceil((n+1)/128) + 1, zero-padded tail symbols counted as
+// 'A', row `primary` (suffix '$') holding a counted dummy 'A'.
+// occ_abs[b] = exclusive block-start counts (int32); occ_sub[b][w] =
+// word-start minus block-start (int8, <= 112).
+template <typename I>
+long fm_bwt_occ_impl(const uint8_t* text, long n, const I* sa,
+                     uint32_t* bwt_words, int32_t* occ_abs,
+                     int8_t* occ_sub, long long* primary) {
+  if (n <= 0) return -1;
+  const long m = n + 1;
+  const long n_blocks = (m + 127) / 128 + 1;
+  long long cum[4] = {0, 0, 0, 0};
+  *primary = -1;
+  long idx = 0;
+  for (long b = 0; b < n_blocks; ++b) {
+    for (int c = 0; c < 4; ++c) occ_abs[b * 4 + c] = (int32_t)cum[c];
+    for (int w = 0; w < 8; ++w) {
+      for (int c = 0; c < 4; ++c)
+        occ_sub[(b * 8 + w) * 4 + c] =
+            (int8_t)(cum[c] - (long long)occ_abs[b * 4 + c]);
+      uint32_t word = 0;
+      for (int s = 0; s < 16; ++s, ++idx) {
+        uint32_t sym = 0;
+        if (idx < m) {
+          if (idx + 24 < m)
+            __builtin_prefetch(&text[(long)sa[idx + 23] - 1]);
+          if (idx == 0) {
+            sym = uint32_t(text[n - 1] & 3);
+          } else {
+            const long p = (long)sa[idx - 1];
+            if (p == 0) *primary = idx;  // dummy 'A' stays counted
+            else sym = uint32_t(text[p - 1] & 3);
+          }
+        }
+        word |= sym << (2 * s);
+        cum[sym]++;
+      }
+      bwt_words[b * 8 + w] = word;
+    }
+  }
+  return *primary < 0 ? -2 : 0;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Suffix array (sentinel-smallest convention) of `text` (uint8
@@ -312,6 +368,21 @@ long sais_bwt(const uint8_t* text, long n, const long long* sa,
     else bwt_out[i + 1] = text[p - 1];
   }
   return *primary < 0 ? -1 : 0;
+}
+
+// Fused BWT+pack+occ entry points (see fm_bwt_occ_impl above).
+long fm_bwt_occ_i32(const uint8_t* text, long n, const int32_t* sa,
+                    uint32_t* bwt_words, int32_t* occ_abs,
+                    int8_t* occ_sub, long long* primary) {
+  return fm_bwt_occ_impl<int32_t>(text, n, sa, bwt_words, occ_abs,
+                                  occ_sub, primary);
+}
+
+long fm_bwt_occ_i64(const uint8_t* text, long n, const int64_t* sa,
+                    uint32_t* bwt_words, int32_t* occ_abs,
+                    int8_t* occ_sub, long long* primary) {
+  return fm_bwt_occ_impl<int64_t>(text, n, sa, bwt_words, occ_abs,
+                                  occ_sub, primary);
 }
 
 // k-mer suffix-key histogram for the FM-index lookup table

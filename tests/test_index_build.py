@@ -55,6 +55,36 @@ def test_lut_histogram_matches_sa_searchsorted():
     np.testing.assert_array_equal(hi, hi_ref.astype(np.int32))
 
 
+def test_fused_native_bwt_occ_matches_numpy_stages():
+    """The C++ fused BWT+pack+occ pass (fm_bwt_occ) is bit-identical
+    to the separate NumPy stages for both SA dtypes, including the
+    sentinel row and block-boundary edges."""
+    from nvbio_tpu import native as nat
+    from nvbio_tpu.basic.packed import pack_2bit
+    from nvbio_tpu.fmindex import build as B
+    from nvbio_tpu.sufsort import bwt_from_sa, suffix_array
+
+    if nat.sais_lib() is None:
+        pytest.skip("no native toolchain")
+    for n in [1, 128, 129, 300_001]:
+        g = random_genome(n, seed=200 + n)
+        sa = np.asarray(suffix_array(g))
+        for dt in (np.int32, np.int64):
+            got = nat.fm_bwt_occ_native(g, sa.astype(dt))
+            assert got is not None
+            bwt, primary = bwt_from_sa(g, sa)
+            m = n + 1
+            n_blocks = (m + B.BLOCK - 1) // B.BLOCK + 1
+            pad = np.zeros(n_blocks * B.BLOCK, np.uint8)
+            pad[:m] = bwt
+            words = pack_2bit(pad).reshape(n_blocks, B.WORDS)
+            occ_abs, occ_sub = B._occ_tables_host(pad, n_blocks)
+            np.testing.assert_array_equal(got[0], words)
+            np.testing.assert_array_equal(got[1], occ_abs)
+            np.testing.assert_array_equal(got[2], occ_sub)
+            assert got[3] == primary
+
+
 def test_lut_native_histogram_matches_numpy_fallback():
     """The C++ kmer_hist fast path (both its direct and
     radix-partitioned branches) equals the blocked-NumPy fallback,
