@@ -147,24 +147,32 @@ def build_fm_arrays(
     assert C[4] == m
 
     # sampled SA over rows of T+'$' (row 0 is the sentinel suffix)
-    sa_full = np.empty(m, dtype=np.int32)
-    sa_full[0] = n
-    sa_full[1:] = sa
     thresh = 2 if bi_sample else 1
-    if sa_sample & (sa_sample - 1) == 0:
-        marked = (sa_full & (sa_sample - 1)) < thresh
-    else:
-        marked = (sa_full % sa_sample) < thresh
-    vals = sa_full[marked]
     n_words = (n_blocks * BLOCK) // 32
-    bits = np.zeros(n_words * 32, dtype=bool)
-    bits[:m] = marked
-    # LSB-first packing: bit r of word w = bits[32*w + r]
-    words = np.packbits(bits.reshape(n_words, 32), axis=1, bitorder="little")
-    mark_words = words.view("<u4").reshape(n_words)
-    popc = bits.reshape(n_words, 32).sum(axis=1)
-    mark_abs = np.zeros(n_words, dtype=np.int32)
-    np.cumsum(popc[:-1], out=mark_abs[1:])
+    from ..native import ssa_build_native
+    ssa_t = ssa_build_native(np.asarray(sa), n, sa_sample, thresh,
+                             n_words)
+    if ssa_t is not None:
+        # one C++ pass: marks + per-word rank prefix + sampled values
+        mark_words, mark_abs, vals = ssa_t
+    else:
+        sa_full = np.empty(m, dtype=np.int32)
+        sa_full[0] = n
+        sa_full[1:] = sa
+        if sa_sample & (sa_sample - 1) == 0:
+            marked = (sa_full & (sa_sample - 1)) < thresh
+        else:
+            marked = (sa_full % sa_sample) < thresh
+        vals = sa_full[marked]
+        bits = np.zeros(n_words * 32, dtype=bool)
+        bits[:m] = marked
+        # LSB-first packing: bit r of word w = bits[32*w + r]
+        words = np.packbits(bits.reshape(n_words, 32), axis=1,
+                            bitorder="little")
+        mark_words = words.view("<u4").reshape(n_words)
+        popc = bits.reshape(n_words, 32).sum(axis=1)
+        mark_abs = np.zeros(n_words, dtype=np.int32)
+        np.cumsum(popc[:-1], out=mark_abs[1:])
 
     return ((bwt_words, occ_abs, occ_sub, C,
              np.int32(primary), np.int32(n)),

@@ -70,6 +70,8 @@ def sais_lib():
             L.kmer_hist.restype = ctypes.c_long
             L.fm_bwt_occ_i32.restype = ctypes.c_long
             L.fm_bwt_occ_i64.restype = ctypes.c_long
+            L.ssa_build_i32.restype = ctypes.c_long
+            L.ssa_build_i64.restype = ctypes.c_long
             _sais_lib = L
         except Exception:
             _sais_lib = None
@@ -142,6 +144,38 @@ def fm_bwt_occ_native(text: np.ndarray, sa: np.ndarray):
     if r != 0:
         return None
     return bwt_words, occ_abs, occ_sub, int(primary.value)
+
+
+def ssa_build_native(sa: np.ndarray, n: int, k: int, thresh: int,
+                     n_words: int):
+    """Sampled-SA mark bitmap + per-word rank prefix + sampled values
+    in one C++ pass (layout of fmindex/build.py build_fm_arrays).
+    Returns (mark_words uint32 (n_words,), mark_abs int32, vals int32)
+    or None if the native lib is unavailable."""
+    L = sais_lib()
+    if L is None:
+        return None
+    c = ctypes
+    mark_words = np.empty(n_words, dtype=np.uint32)
+    mark_abs = np.empty(n_words, dtype=np.int32)
+    cap = thresh * ((n + 1) // k + 2)
+    vals = np.empty(cap, dtype=np.int32)
+    if sa.dtype == np.int32:
+        s = np.ascontiguousarray(sa, dtype=np.int32)
+        fn, ptr = L.ssa_build_i32, c.POINTER(c.c_int32)
+    else:
+        s = np.ascontiguousarray(sa, dtype=np.int64)
+        fn, ptr = L.ssa_build_i64, c.POINTER(c.c_int64)
+    nv = fn(
+        s.ctypes.data_as(ptr), c.c_long(n), c.c_int(k),
+        c.c_int(thresh), c.c_long(n_words),
+        mark_words.ctypes.data_as(c.POINTER(c.c_uint32)),
+        mark_abs.ctypes.data_as(c.POINTER(c.c_int32)),
+        vals.ctypes.data_as(c.POINTER(c.c_int32)),
+    )
+    if nv < 0 or nv > cap:
+        return None
+    return mark_words, mark_abs, vals[:nv].copy()
 
 
 def kmer_hist_native(text: np.ndarray, k: int):

@@ -332,6 +332,41 @@ long fm_bwt_occ_impl(const uint8_t* text, long n, const I* sa,
   return *primary < 0 ? -2 : 0;
 }
 
+// Sampled-SA (SSA) mark bitmap + rank blocks + sampled values in one
+// pass (fmindex/build.py build_fm_arrays tail).  Row i of the
+// conceptual matrix holds SA value (i == 0 ? n : sa[i-1]); rows with
+// value % k < thresh are marked (thresh 2 = the bi-marked fm2
+// variant).  Outputs: LSB-first 32-bit mark words over the padded row
+// range, exclusive popcount prefix per word (int32), and the marked
+// values in row order (int32).  Returns the number of marked rows.
+template <typename I>
+long ssa_build_impl(const I* sa, long n, int k, int thresh,
+                    long n_words, uint32_t* mark_words,
+                    int32_t* mark_abs, int32_t* vals) {
+  const long m = n + 1;
+  const bool pow2 = (k & (k - 1)) == 0;
+  const uint32_t km = uint32_t(k - 1);
+  long long cum = 0;
+  long nv = 0;
+  long idx = 0;
+  for (long w = 0; w < n_words; ++w) {
+    mark_abs[w] = (int32_t)cum;
+    uint32_t word = 0;
+    for (int r = 0; r < 32; ++r, ++idx) {
+      if (idx >= m) continue;
+      const int64_t v = (idx == 0) ? (int64_t)n : (int64_t)sa[idx - 1];
+      const int64_t res = pow2 ? (int64_t)(uint64_t(v) & km) : v % k;
+      if (res < thresh) {
+        word |= 1u << r;
+        vals[nv++] = (int32_t)v;
+        ++cum;
+      }
+    }
+    mark_words[w] = word;
+  }
+  return nv;
+}
+
 }  // namespace
 
 extern "C" {
@@ -383,6 +418,21 @@ long fm_bwt_occ_i64(const uint8_t* text, long n, const int64_t* sa,
                     int8_t* occ_sub, long long* primary) {
   return fm_bwt_occ_impl<int64_t>(text, n, sa, bwt_words, occ_abs,
                                   occ_sub, primary);
+}
+
+// SSA mark/rank/values entry points (see ssa_build_impl above).
+long ssa_build_i32(const int32_t* sa, long n, int k, int thresh,
+                   long n_words, uint32_t* mark_words,
+                   int32_t* mark_abs, int32_t* vals) {
+  return ssa_build_impl<int32_t>(sa, n, k, thresh, n_words, mark_words,
+                                 mark_abs, vals);
+}
+
+long ssa_build_i64(const int64_t* sa, long n, int k, int thresh,
+                   long n_words, uint32_t* mark_words,
+                   int32_t* mark_abs, int32_t* vals) {
+  return ssa_build_impl<int64_t>(sa, n, k, thresh, n_words, mark_words,
+                                 mark_abs, vals);
 }
 
 // k-mer suffix-key histogram for the FM-index lookup table

@@ -85,6 +85,37 @@ def test_fused_native_bwt_occ_matches_numpy_stages():
             assert got[3] == primary
 
 
+def test_native_ssa_build_matches_numpy():
+    """The C++ one-pass SSA builder (marks + rank prefix + values)
+    equals the NumPy mask/packbits/cumsum path for pow2 and non-pow2
+    sampling, mono and bi marks, both SA dtypes."""
+    from nvbio_tpu import native as nat
+    from nvbio_tpu.fmindex import build as B
+    from nvbio_tpu.sufsort import suffix_array
+
+    if nat.sais_lib() is None:
+        pytest.skip("no native toolchain")
+    g = random_genome(100_003, seed=31)
+    sa = np.asarray(suffix_array(g))
+    for k in (4, 6):
+        for bi in (False, True):
+            for dt in (np.int32, np.int64):
+                got = B.build_fm_arrays(g, sa_sample=k,
+                                        sa=sa.astype(dt), bi_sample=bi)
+                f1, f2 = nat.fm_bwt_occ_native, nat.ssa_build_native
+                nat.fm_bwt_occ_native = lambda *a: None
+                nat.ssa_build_native = lambda *a: None
+                try:
+                    want = B.build_fm_arrays(g, sa_sample=k, sa=sa,
+                                             bi_sample=bi)
+                finally:
+                    nat.fm_bwt_occ_native = f1
+                    nat.ssa_build_native = f2
+                for a, b in zip(got[1], want[1]):
+                    np.testing.assert_array_equal(np.asarray(a),
+                                                  np.asarray(b))
+
+
 def test_lut_native_histogram_matches_numpy_fallback():
     """The C++ kmer_hist fast path (both its direct and
     radix-partitioned branches) equals the blocked-NumPy fallback,
