@@ -879,6 +879,11 @@ class Mapper:
             p, max_range=p.max_range * f, locate_frac=1.0,
             mm_locate_frac=1.0, max_locate=min(p.max_locate * k, 128),
             max_candidates=min(p.max_candidates * k, 64),
+            extend_frac=1.0,  # every surviving candidate is extended:
+            # without this the superset claim above would be prose only
+            # (a read could re-drop on the extension budget it already
+            # overflowed in round 1); tested by
+            # test_extension_budget_escalation_recovers
             max_effort=1)
 
     def _finish_handle(self, handle):

@@ -55,6 +55,18 @@ def lib():
         return _lib
 
 
+def _sais_resolve(L):
+    L.sais_u8.restype = ctypes.c_long
+    L.sais_u8_i32.restype = ctypes.c_long
+    L.sais_bwt.restype = ctypes.c_long
+    L.kmer_hist.restype = ctypes.c_long
+    L.fm_bwt_occ_i32.restype = ctypes.c_long
+    L.fm_bwt_occ_i64.restype = ctypes.c_long
+    L.ssa_build_i32.restype = ctypes.c_long
+    L.ssa_build_i64.restype = ctypes.c_long
+    return L
+
+
 def sais_lib():
     """ctypes handle for the SA-IS library, or None."""
     global _sais_lib, _sais_tried
@@ -63,16 +75,22 @@ def sais_lib():
             return _sais_lib
         _sais_tried = True
         try:
-            L = _build(_SAIS_SRC, _SAIS_SO)
-            L.sais_u8.restype = ctypes.c_long
-            L.sais_u8_i32.restype = ctypes.c_long
-            L.sais_bwt.restype = ctypes.c_long
-            L.kmer_hist.restype = ctypes.c_long
-            L.fm_bwt_occ_i32.restype = ctypes.c_long
-            L.fm_bwt_occ_i64.restype = ctypes.c_long
-            L.ssa_build_i32.restype = ctypes.c_long
-            L.ssa_build_i64.restype = ctypes.c_long
-            _sais_lib = L
+            _sais_lib = _sais_resolve(_build(_SAIS_SRC, _SAIS_SO))
+        except AttributeError:
+            # A stale _sais.so (e.g. an archive extraction that kept
+            # source mtimes newer than the .so it shipped) can lack the
+            # newer symbols; silently losing the WHOLE native lib would
+            # degrade gigabase builds to the Python fallback.  Rebuild
+            # once from source before giving up.
+            try:
+                os.remove(_SAIS_SO)
+                _sais_lib = _sais_resolve(_build(_SAIS_SRC, _SAIS_SO))
+            except Exception:
+                import warnings
+                warnings.warn(
+                    "nvbio_tpu.native: _sais.so is stale/incomplete and "
+                    "rebuild failed; falling back to Python index build")
+                _sais_lib = None
         except Exception:
             _sais_lib = None
         return _sais_lib
@@ -121,6 +139,14 @@ def fm_bwt_occ_native(text: np.ndarray, sa: np.ndarray):
     n = len(t)
     if n == 0:
         return None
+    # sais.cpp hardcodes the fmindex/build.py block geometry; break
+    # loudly (not with a silently mis-laid-out array) if it drifts.
+    from ..fmindex import build as _fb
+    if _fb.BLOCK != 128 or _fb.WORDS != 8:
+        raise RuntimeError(
+            "native fm_bwt_occ assumes BLOCK=128/WORDS=8 but "
+            f"fmindex.build has BLOCK={_fb.BLOCK}/WORDS={_fb.WORDS}; "
+            "update sais.cpp fm_bwt_occ_impl to match")
     n_blocks = (n + 1 + 127) // 128 + 1
     bwt_words = np.empty((n_blocks, 8), dtype=np.uint32)
     occ_abs = np.empty((n_blocks, 4), dtype=np.int32)
@@ -172,8 +198,9 @@ def ssa_build_native(sa: np.ndarray, n: int, k: int, thresh: int,
         mark_words.ctypes.data_as(c.POINTER(c.c_uint32)),
         mark_abs.ctypes.data_as(c.POINTER(c.c_int32)),
         vals.ctypes.data_as(c.POINTER(c.c_int32)),
+        c.c_long(cap),  # bound enforced inside C++ BEFORE any write
     )
-    if nv < 0 or nv > cap:
+    if nv < 0:
         return None
     return mark_words, mark_abs, vals[:nv].copy()
 

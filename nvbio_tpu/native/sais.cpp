@@ -338,11 +338,14 @@ long fm_bwt_occ_impl(const uint8_t* text, long n, const I* sa,
 // value % k < thresh are marked (thresh 2 = the bi-marked fm2
 // variant).  Outputs: LSB-first 32-bit mark words over the padded row
 // range, exclusive popcount prefix per word (int32), and the marked
-// values in row order (int32).  Returns the number of marked rows.
+// values in row order (int32).  `cap` bounds the vals buffer: the
+// write stops (return -4) BEFORE overflowing it, so a mis-sized
+// caller allocation can never corrupt the heap.  Returns the number
+// of marked rows.
 template <typename I>
 long ssa_build_impl(const I* sa, long n, int k, int thresh,
                     long n_words, uint32_t* mark_words,
-                    int32_t* mark_abs, int32_t* vals) {
+                    int32_t* mark_abs, int32_t* vals, long cap) {
   const long m = n + 1;
   const bool pow2 = (k & (k - 1)) == 0;
   const uint32_t km = uint32_t(k - 1);
@@ -357,6 +360,7 @@ long ssa_build_impl(const I* sa, long n, int k, int thresh,
       const int64_t v = (idx == 0) ? (int64_t)n : (int64_t)sa[idx - 1];
       const int64_t res = pow2 ? (int64_t)(uint64_t(v) & km) : v % k;
       if (res < thresh) {
+        if (nv >= cap) return -4;
         word |= 1u << r;
         vals[nv++] = (int32_t)v;
         ++cum;
@@ -423,16 +427,16 @@ long fm_bwt_occ_i64(const uint8_t* text, long n, const int64_t* sa,
 // SSA mark/rank/values entry points (see ssa_build_impl above).
 long ssa_build_i32(const int32_t* sa, long n, int k, int thresh,
                    long n_words, uint32_t* mark_words,
-                   int32_t* mark_abs, int32_t* vals) {
+                   int32_t* mark_abs, int32_t* vals, long cap) {
   return ssa_build_impl<int32_t>(sa, n, k, thresh, n_words, mark_words,
-                                 mark_abs, vals);
+                                 mark_abs, vals, cap);
 }
 
 long ssa_build_i64(const int64_t* sa, long n, int k, int thresh,
                    long n_words, uint32_t* mark_words,
-                   int32_t* mark_abs, int32_t* vals) {
+                   int32_t* mark_abs, int32_t* vals, long cap) {
   return ssa_build_impl<int64_t>(sa, n, k, thresh, n_words, mark_words,
-                                 mark_abs, vals);
+                                 mark_abs, vals, cap);
 }
 
 // k-mer suffix-key histogram for the FM-index lookup table
@@ -451,6 +455,9 @@ long ssa_build_i64(const int64_t* sa, long n, int k, int thresh,
 // NumPy rolling-key build at hg-shard scale.
 long kmer_hist(const uint8_t* text, long n, int k, long long* counts) {
   if (n <= 0 || k < 1 || k > 15) return -1;
+  // Per-bin tallies accumulate in uint32 (a bin can receive up to n
+  // counts); make the implicit n < 2^32 bound explicit and local.
+  if (n >= (1LL << 32)) return -2;
   const uint32_t mask = (1u << (2 * k)) - 1;
   const long nbin = 2L << (2 * k);
   uint32_t key = 0;

@@ -186,3 +186,56 @@ def test_overflow_surfaced():
     j = stats.summary()
     assert j["escalated"] == m2.escalated > 0
     assert j["overflowed"] == m2.overflowed > 0
+
+
+def test_extension_budget_escalation_recovers():
+    """Extension-budget-ONLY drops must be recovered by escalation
+    (VERDICT r4 weak #2): _escalated_params lifts extend_frac to 1.0 so
+    each round is a true superset of the previous round's search
+    effort.  Setup: 32 copies of a segment — 31 slightly diverged, the
+    TRUE (exact) copy at the HIGHEST genome position, so after the
+    position-sorted diagonal dedupe it always occupies the last
+    candidate rank and is exactly what the slot-rank-major extension
+    compaction drops under budget pressure.  With a tiny extend_frac
+    the round-1 budget (floor 1024 lanes < ~29 candidates x 64 reads)
+    drops the true copy for every read; without the extend_frac lift
+    the escalated round would re-drop it (budget still 1024 < ~2100)
+    and this test fails."""
+    rng = np.random.default_rng(4242)
+    g = rng.integers(0, 4, 60_000, dtype=np.uint8)
+    L = 100
+    seg = rng.integers(0, 4, L, dtype=np.uint8)
+    n_copies = 32
+    starts_c = 10_000 + 400 * np.arange(n_copies)
+    for i, s in enumerate(starts_c[:-1]):  # diverged copies (2 mm each)
+        c = seg.copy()
+        for p in (45, 75):
+            c[p] = (c[p] + 1 + rng.integers(0, 3)) % 4
+        g[s:s + L] = c
+    p_true = int(starts_c[-1])
+    g[p_true:p_true + L] = seg  # exact copy, highest position
+    fm, ssa = build_fm_index(g, sa_sample=8, bi_sample=True)
+
+    n_reads = 64
+    seqs = np.tile(seg, (n_reads, 1)).astype(np.uint8)
+    lens = np.full(n_reads, L, np.int32)
+    quals = np.full(seqs.shape, 35, np.uint8)
+
+    base = dict(batch_size=n_reads, sa_sample=8, max_range=64,
+                max_candidates=32, max_locate=32, max_hits_per_seed=32,
+                locate_frac=1.0,  # keep locate clean: pressure must
+                # come from the extension budget alone
+                extend_frac=0.1)
+    m1 = Mapper(fm, ssa, g, params=MapperParams(max_effort=1, **base))
+    r1 = m1.map_reads(seqs, lens, quals)
+    # round 1: true copy's candidate (last rank) dropped by the
+    # extension budget -> reads settle on a diverged copy
+    assert all(r.aligned for r in r1)
+    assert all(r.pos != p_true for r in r1)
+    assert m1.overflowed >= n_reads  # ext_dropped -> cand_overflow
+
+    m2 = Mapper(fm, ssa, g, params=MapperParams(max_effort=2, **base))
+    r2 = m2.map_reads(seqs, lens, quals)
+    assert m2.escalated >= n_reads
+    # escalated round extends EVERY candidate: exact copy wins
+    assert all(r.aligned and r.pos == p_true for r in r2)
