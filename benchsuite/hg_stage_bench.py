@@ -10,11 +10,24 @@ ALUs, segdups, tandems), sharded index (sa_sample 4, k=11 LUT),
   B. ONE shard + resident device pair-BWT (fm2) -> the per-chip
      profile of the shard-per-chip mesh layout (config 5).
 
-Device times are min-of-5 with the measured null-dispatch constant
-subtracted (the round-3 tunnel-insensitive protocol).  Scale down
-with --bp/--shards for smoke runs; the graded run is
-  python benchsuite/hg_stage_bench.py --bp 3200000000 --shards 3
-(index build ~80 min single-core; cached under --cache).
+--substages additionally decomposes shard 0's candidate stage into
+strands / seeds / backward search / select+locate / extension using
+the SAME code the mapper runs (models/mapper.py seed_and_search /
+select_and_locate / extend_candidates), each timed as its own jit
+with materialized inputs — attribution for optimization work (the
+sub-stage sum can exceed the fused total: separate jits lose XLA's
+cross-stage fusion).
+
+Device times are min-of-iters with the measured null-dispatch
+constant subtracted (the round-3 tunnel-insensitive protocol).  All
+device state is passed to the timed jits as ARGUMENTS — closing over
+it captures multi-GB constants at lowering time, which round 4
+showed can kill the axon tunnel's remote_compile.
+
+Scale down with --bp/--shards for smoke runs; the graded run is
+  python benchsuite/hg_stage_bench.py --bp 3200001024 --shards 2
+(index build ~38 min single-core; cached under --cache; the 2-shard
+layout halves phase A's sequential stage count vs round 4's 3-shard).
 """
 from __future__ import annotations
 
@@ -35,18 +48,23 @@ import jax
 import jax.numpy as jnp
 
 
-def checksum_time(fn, iters, t_null):
-    """min-of-iters wall of jit(checksum(fn())), null-subtracted."""
-    f = jax.jit(lambda: jax.tree.reduce(
-        lambda x, y: x + y,
-        jax.tree.map(lambda t: t.astype(jnp.int32).sum(), fn())))
-    np.asarray(f())  # compile
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        np.asarray(f())
-        ts.append(time.time() - t0)
-    return max(min(ts) - t_null, 1e-9)
+def make_timer(iters, t_null):
+    def checksum_time(fn, *args):
+        """min-of-iters wall of jit(checksum(fn(*args))), null-subtracted.
+
+        args are jit ARGUMENTS (not closed over) so multi-GB device
+        state is never lowered as a captured constant."""
+        f = jax.jit(lambda *a: jax.tree.reduce(
+            lambda x, y: x + y,
+            jax.tree.map(lambda t: t.astype(jnp.int32).sum(), fn(*a))))
+        np.asarray(f(*args))  # compile
+        ts = []
+        for _ in range(iters):
+            t0 = time.time()
+            np.asarray(f(*args))
+            ts.append(time.time() - t0)
+        return max(min(ts) - t_null, 1e-9)
+    return checksum_time
 
 
 def main(argv=None):
@@ -58,8 +76,18 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--cache", default=".scratch/hgbench")
+    p.add_argument("--skip-a", action="store_true")
     p.add_argument("--skip-b", action="store_true")
+    p.add_argument("--substages", action="store_true",
+                   help="decompose shard 0's candidate stage")
+    p.add_argument("--lut-k", type=int, default=0,
+                   help="override the index's k-mer LUT depth (rebuilt "
+                   "from the shard text via the native histogram)")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin to the CPU backend (smoke runs / CI)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from nvbio_tpu.fmindex.sharded import (build_sharded_index,
                                            save_sharded_index,
@@ -105,10 +133,102 @@ def main(argv=None):
     t_null = min((lambda s: (np.asarray(null(z)), time.time() - s)[1])(
         time.time()) for _ in range(10))
     print(f"[hg] dispatch const {t_null*1e3:.1f} ms", file=sys.stderr)
+    checksum_time = make_timer(args.iters, t_null)
     rows = []
 
-    def run_phase(name, mapper, shard_ids):
+    def maybe_deepen_lut(mapper, params):
+        """--lut-k: rebuild each shard's LUT at a deeper k from the
+        shard text (the SA-range boundaries of all k-mers are the
+        cumsum of the sorted k-mer multiset — no suffix array needed;
+        fmindex/build.py build_kmer_lut + native kmer_hist)."""
+        if not args.lut_k:
+            return params
+        from nvbio_tpu.fmindex.build import build_kmer_lut
+        for s, st in enumerate(mapper.shard_state):
+            t0 = time.time()
+            g_np = np.asarray(genome[st["start"]:
+                                     st["start"] + st["length"]],
+                              np.uint8)
+            lo_l, hi_l = build_kmer_lut(g_np, k=args.lut_k)
+            st["lut"] = (jnp.asarray(lo_l), jnp.asarray(hi_l))
+            print(f"[hg] shard {s} k={args.lut_k} LUT rebuilt in "
+                  f"{time.time()-t0:.0f}s", file=sys.stderr)
+        from dataclasses import replace
+        return replace(params, lut_k=args.lut_k)
+
+    def run_substages(name, mapper, params, jr, jl, jq):
+        """Decompose shard 0's candidate stage (VERDICT r4 item 1)."""
+        from nvbio_tpu.models.mapper import (
+            both_strands, seed_and_search, select_and_locate,
+            extend_candidates)
+        st = mapper.shard_state[0]
+        fm, ssa, lut, fm2 = st["fm"], st["ssa"], st["lut"], st["fm2"]
+        L = jr.shape[1]
+
+        dt = checksum_time(
+            lambda r, l, q: both_strands(r, l, q)[0], jr, jl, jq)
+        rows.append({"phase": name, "stage": "sub:strands",
+                     "ms": round(dt * 1e3, 1)})
+        all_reads, all_quals, lens2 = jax.jit(both_strands)(jr, jl, jq)
+
+        dt = checksum_time(
+            lambda f, f2, ar, l2: seed_and_search(
+                f, ar, l2, params=params, lut=lut, fm2=f2)[:2],
+            fm, fm2, all_reads, lens2)
+        rows.append({"phase": name, "stage": "sub:seeds+bsearch",
+                     "ms": round(dt * 1e3, 1)})
+        lo, hi, offsets, sval, flat_seeds = jax.jit(
+            lambda f, f2, ar, l2: seed_and_search(
+                f, ar, l2, params=params, lut=lut, fm2=f2))(
+            fm, fm2, all_reads, lens2)
+
+        # bsearch alone (materialized seeds -> LF chain only)
+        from nvbio_tpu.fmindex import backward_search, backward_search2
+        lut_k = params.lut_k if lut is not None else 0
+        if fm2 is not None:
+            dt = checksum_time(
+                lambda f, f2, s, lt: backward_search2(
+                    f, f2, s, lut=lt, lut_k=lut_k),
+                fm, fm2, flat_seeds, lut)
+        else:
+            dt = checksum_time(
+                lambda f, s, lt: backward_search(f, s, lut=lt,
+                                                 lut_k=lut_k),
+                fm, flat_seeds, lut)
+        rows.append({"phase": name, "stage": "sub:bsearch",
+                     "ms": round(dt * 1e3, 1)})
+
+        dt = checksum_time(
+            lambda f, s2, a, b, o, v: select_and_locate(
+                f, s2, a, b, o, v, L, params=params, fm2=fm2,
+                bi=False)[:2],
+            fm, ssa, lo, hi, offsets, sval)
+        rows.append({"phase": name, "stage": "sub:select+locate",
+                     "ms": round(dt * 1e3, 1)})
+        cand, _ovf, _nd = jax.jit(
+            lambda f, s2, a, b, o, v: select_and_locate(
+                f, s2, a, b, o, v, L, params=params, fm2=fm2,
+                bi=False))(fm, ssa, lo, hi, offsets, sval)
+
+        dt = checksum_time(
+            lambda f, g, gw, ar, aq, l2, c: {
+                k: v for k, v in extend_candidates(
+                    f, g, ar, aq, l2, c, params=params,
+                    use_pallas=mapper.use_pallas, gwords=gw).items()
+                if k != "cand_overflow"},
+            fm, st["g"], st["gw"], all_reads, all_quals, lens2, cand)
+        rows.append({"phase": name, "stage": "sub:extend",
+                     "ms": round(dt * 1e3, 1)})
+        sub_ms = sum(r["ms"] for r in rows
+                     if r["phase"] == name and r["stage"] in
+                     ("sub:strands", "sub:seeds+bsearch",
+                      "sub:select+locate", "sub:extend"))
+        print(f"[{name}] substage sum (strands+seeds+bsearch+"
+              f"sel/loc+extend) {sub_ms:.0f} ms", file=sys.stderr)
+
+    def run_phase(name, mapper, shard_ids, substages=False):
         params = mapper._chunk_params(args.read_len, args.read_len)
+        params = maybe_deepen_lut(mapper, params)
         seqs, ls, qs = mapper._pad_chunk(sim["seqs"], lens, sim["quals"])
         jr, jl = jnp.asarray(seqs), jnp.asarray(ls.astype(np.int32))
         jq = jnp.asarray(qs.astype(np.uint8))
@@ -116,31 +236,33 @@ def main(argv=None):
         cands = []
         for s in shard_ids:
             st = mapper.shard_state[s]
-            fn = lambda st=st: _shard_cands(
-                st["fm"], st["ssa"], st["g"], jr, jl, jq,
-                jnp.asarray(st["own_lo"], jnp.int32),
-                jnp.asarray(st["own_hi"], jnp.int32),
-                params=params, use_pallas=mapper.use_pallas,
-                lut=st["lut"], gwords=st["gw"], fm2=st["fm2"])
-            dt = checksum_time(fn, args.iters, t_null)
+            fn = lambda f, s2, g, r, l, q, lt, gw, f2, lo_, hi_: \
+                _shard_cands(f, s2, g, r, l, q, lo_, hi_,
+                             params=params, use_pallas=mapper.use_pallas,
+                             lut=lt, gwords=gw, fm2=f2)
+            fargs = (st["fm"], st["ssa"], st["g"], jr, jl, jq,
+                     st["lut"], st["gw"], st["fm2"],
+                     jnp.asarray(st["own_lo"], jnp.int32),
+                     jnp.asarray(st["own_hi"], jnp.int32))
+            dt = checksum_time(fn, *fargs)
             print(f"[{name}] candidate stage shard {s}: "
                   f"{dt*1e3:.0f} ms", file=sys.stderr)
             rows.append({"phase": name, "stage": f"cands_shard{s}",
                          "ms": round(dt * 1e3, 1)})
             total += dt
-            cands.append(fn())
+            cands.append(jax.jit(fn)(*fargs))
         dt = checksum_time(
-            lambda: _sharded_top2(cands, jl, params), args.iters, t_null)
+            lambda l, *cs: _sharded_top2(list(cs), l, params), jl, *cands)
         rows.append({"phase": name, "stage": "top2", "ms":
                      round(dt * 1e3, 1)})
         total += dt
         fwd = _sharded_top2(cands, jl, params)
         dt = checksum_time(
-            lambda: _sharded_walk(
-                mapper._gs, mapper._glens, fwd["win_start"],
-                fwd["shard"], jr, jl, jq, fwd["strand"], params=params,
+            lambda gs, gl, ws, sh, r, l, q, sd: _sharded_walk(
+                gs, gl, ws, sh, r, l, q, sd, params=params,
                 use_pallas=mapper.use_pallas),
-            args.iters, t_null)
+            mapper._gs, mapper._glens, fwd["win_start"], fwd["shard"],
+            jr, jl, jq, fwd["strand"])
         rows.append({"phase": name, "stage": "walk",
                      "ms": round(dt * 1e3, 1)})
         total += dt
@@ -150,12 +272,18 @@ def main(argv=None):
                      "reads_per_s_chip": round(rps)})
         print(f"[{name}] device total {total*1e3:.0f} ms -> "
               f"{rps:,.0f} reads/s/chip", file=sys.stderr)
+        if substages:
+            run_substages(name, mapper, params, jr, jl, jq)
 
-    # phase A: all shards resident, fm2 off (HBM budget)
-    mp = MapperParams(batch_size=args.batch, sa_sample=4, use_fm2=False)
-    mapper = ShardedMapper(sidx, genome, params=mp, fm2_mode="off")
-    run_phase("A_all_shards", mapper, list(range(len(mapper.shard_state))))
-    del mapper
+    if not args.skip_a:
+        # phase A: all shards resident, fm2 off (HBM budget)
+        mp = MapperParams(batch_size=args.batch, sa_sample=4,
+                          use_fm2=False)
+        mapper = ShardedMapper(sidx, genome, params=mp, fm2_mode="off")
+        run_phase("A_all_shards", mapper,
+                  list(range(len(mapper.shard_state))),
+                  substages=args.substages)
+        del mapper
 
     if not args.skip_b:
         # phase B: ONE shard + resident device pair-BWT — the mesh
@@ -164,7 +292,8 @@ def main(argv=None):
                            use_fm2=True)
         mapper = ShardedMapper(sidx, genome, params=mp2,
                                fm2_mode="resident")
-        run_phase("B_one_shard_fm2", mapper, [0])
+        run_phase("B_one_shard_fm2", mapper, [0],
+                  substages=args.substages)
 
     print(json.dumps(rows))
 

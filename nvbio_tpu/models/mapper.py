@@ -288,6 +288,95 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int,
     return (pos_flat.reshape(K, N).T, keep.reshape(K, N).T, n_dropped)
 
 
+def seed_and_search(fm, all_reads, lens2, *, params: MapperParams,
+                    lut=None, fm2=None):
+    """Seed extraction + FM backward search (ref: mapping_inl.h
+    ``map_whole_read``/``map_exact``; SURVEY.md §4.1 hot loop 2).
+
+    Split out of candidate_stage so the hg-scale stage bench
+    (benchsuite/hg_stage_bench.py --substages) times exactly the code
+    the mapper runs.  Returns (lo, hi (2R, S), offsets (2R, S), sval,
+    flat_seeds (2R*S, seed_len))."""
+    R2, L = all_reads.shape
+    if params.seed_slots > 0:
+        # per-read -i (ref: params.cpp SimpleFunc per read): interval
+        # computed from each read's own length on device; slot count
+        # sized by the caller for the chunk's densest read
+        from ..strings.seeds import extract_seeds_per_read
+
+        S = params.seed_slots
+        seeds, offsets, sval = extract_seeds_per_read(
+            all_reads, lens2, params.seed_len, S,
+            params.seed_interval_fn, params.seed_interval_a,
+            params.seed_interval_b)
+    else:
+        S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
+        seeds, offsets, sval = extract_uniform_seeds(
+            all_reads, lens2, params.seed_len, params.seed_interval
+        )
+        # (S,) static offsets -> per-read layout shared with the
+        # dynamic path (XLA folds the broadcast)
+        offsets = jnp.broadcast_to(offsets[None, :], (R2, S))
+    flat_seeds = seeds.reshape(R2 * S, params.seed_len)
+    lut_k = params.lut_k if lut is not None else 0
+    if fm2 is not None:
+        lo, hi = backward_search2(fm, fm2, flat_seeds, lut=lut, lut_k=lut_k)
+    else:
+        lo, hi = backward_search(fm, flat_seeds, lut=lut, lut_k=lut_k)
+    return lo.reshape(R2, S), hi.reshape(R2, S), offsets, sval, flat_seeds
+
+
+def select_and_locate(fm, ssa, lo, hi, offsets, sval, L, *,
+                      params: MapperParams, fm2=None, bi: bool = False):
+    """Rarity-priority hit selection + compacted SSA locate.
+
+    The SSA walk in locate() is the gather-bound hot spot (SURVEY.md
+    §4.1 hot loop 3): select the most promising hits FIRST and walk
+    only those.  Priority = smaller SA range (rarer seed), the
+    reference's SeedHitDequeArray ordering (ref: seed_hit_deque_array
+    .h, select_inl.h) — here a fixed-budget top-K over (seed, slot).
+    Returns (cand (2R, KLOC) candidate window starts with >= SENT
+    invalid, ovf (2R,) budget-overflow evidence, n_drop scalar)."""
+    R2, S = lo.shape
+    CAP = params.max_hits_per_seed
+    n = fm.n
+    sizes = jnp.where(sval, hi - lo, 0)
+    use = jnp.where(sizes > params.max_range, 0, jnp.minimum(sizes, CAP))
+    # per-read budget-overflow evidence (ref: nvBowtie max_effort
+    # rounds): seeds skipped as too-repetitive now, locate drops and
+    # candidate truncation folded in by the caller
+    ovf = (sval & (sizes > params.max_range)).any(axis=1)  # (2R,)
+    t = jnp.arange(CAP, dtype=jnp.int32)
+    rows = (lo[:, :, None] + t[None, None, :]).reshape(R2, S * CAP)
+    hit_ok = (t[None, None, :] < use[:, :, None]).reshape(R2, S * CAP)
+    INF = jnp.int32(1 << 30)
+    prio = jnp.where(
+        hit_ok,
+        jnp.broadcast_to(sizes[:, :, None], (R2, S, CAP)).reshape(
+            R2, S * CAP),
+        INF,
+    )
+    KLOC = min(params.max_locate, S * CAP)
+    order = jnp.argsort(prio, axis=1)[:, :KLOC]  # (2R, KLOC)
+    rows_sel = jnp.take_along_axis(rows, order, axis=1)
+    ok_sel = jnp.take_along_axis(prio, order, axis=1) < INF
+    offs_flat = jnp.broadcast_to(
+        offsets[:, :, None], (R2, S, CAP)).reshape(R2, S * CAP)
+    offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
+    capacity = max(int(R2 * KLOC * params.locate_frac) // 8 * 8, 512)
+    pos, ok_loc, n_drop = locate_compact(
+        fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
+        k_sample=params.sa_sample, capacity=capacity, fm2=fm2, bi=bi,
+    )
+    ovf = ovf | (ok_sel & ~ok_loc).any(axis=1)
+    # more real hit slots than the per-read locate budget keeps
+    ovf = ovf | (use.sum(axis=1) > KLOC)
+    SENT = n + 2 * L + 1
+    cand = jnp.where(ok_loc, pos - offs_sel, SENT)
+    cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
+    return cand, ovf, n_drop
+
+
 def candidate_stage(
     fm: FMIndex,
     ssa: SSA,
@@ -312,81 +401,16 @@ def candidate_stage(
     (ref: best_approx_inl.h stages before reduce).
     """
     R, L = reads.shape
-    CAP = params.max_hits_per_seed
     n = fm.n
 
     all_reads, all_quals, lens2 = both_strands(
         reads, lens, quals, uniform_shift=uniform_shift)
-
-    # --- seed & map (FM backward search) ---
-    if params.seed_slots > 0:
-        # per-read -i (ref: params.cpp SimpleFunc per read): interval
-        # computed from each read's own length on device; slot count
-        # sized by the caller for the chunk's densest read
-        from ..strings.seeds import extract_seeds_per_read
-
-        S = params.seed_slots
-        seeds, offsets, sval = extract_seeds_per_read(
-            all_reads, lens2, params.seed_len, S,
-            params.seed_interval_fn, params.seed_interval_a,
-            params.seed_interval_b)
-    else:
-        S = num_uniform_seeds(L, params.seed_len, params.seed_interval)
-        seeds, offsets, sval = extract_uniform_seeds(
-            all_reads, lens2, params.seed_len, params.seed_interval
-        )
-        # (S,) static offsets -> per-read layout shared with the
-        # dynamic path (XLA folds the broadcast)
-        offsets = jnp.broadcast_to(offsets[None, :], (2 * R, S))
-    flat_seeds = seeds.reshape(2 * R * S, params.seed_len)
-    lut_k = params.lut_k if lut is not None else 0
-    if fm2 is not None:
-        lo, hi = backward_search2(fm, fm2, flat_seeds, lut=lut, lut_k=lut_k)
-    else:
-        lo, hi = backward_search(fm, flat_seeds, lut=lut, lut_k=lut_k)
-    lo = lo.reshape(2 * R, S)
-    hi = hi.reshape(2 * R, S)
-    sizes = jnp.where(sval, hi - lo, 0)
-    use = jnp.where(sizes > params.max_range, 0, jnp.minimum(sizes, CAP))
-    # per-read budget-overflow evidence (ref: nvBowtie max_effort
-    # rounds): seeds skipped as too-repetitive now, locate drops and
-    # candidate truncation folded in below
-    ovf = (sval & (sizes > params.max_range)).any(axis=1)  # (2R,)
-
-    # --- select (rarity-priority) + locate ---
-    # The SSA walk in locate() is the gather-bound hot spot (SURVEY.md
-    # §4.1 hot loop 3): select the most promising hits FIRST and walk
-    # only those.  Priority = smaller SA range (rarer seed), the
-    # reference's SeedHitDequeArray ordering (ref: seed_hit_deque_array
-    # .h, select_inl.h) — here a fixed-budget top-K over (seed, slot).
-    t = jnp.arange(CAP, dtype=jnp.int32)
-    rows = (lo[:, :, None] + t[None, None, :]).reshape(2 * R, S * CAP)
-    hit_ok = (t[None, None, :] < use[:, :, None]).reshape(2 * R, S * CAP)
-    INF = jnp.int32(1 << 30)
-    prio = jnp.where(
-        hit_ok,
-        jnp.broadcast_to(sizes[:, :, None], (2 * R, S, CAP)).reshape(
-            2 * R, S * CAP),
-        INF,
-    )
-    KLOC = min(params.max_locate, S * CAP)
-    order = jnp.argsort(prio, axis=1)[:, :KLOC]  # (2R, KLOC)
-    rows_sel = jnp.take_along_axis(rows, order, axis=1)
-    ok_sel = jnp.take_along_axis(prio, order, axis=1) < INF
-    offs_flat = jnp.broadcast_to(
-        offsets[:, :, None], (2 * R, S, CAP)).reshape(2 * R, S * CAP)
-    offs_sel = jnp.take_along_axis(offs_flat, order, axis=1)
-    capacity = max(int(2 * R * KLOC * params.locate_frac) // 8 * 8, 512)
-    pos, ok_loc, n_drop = locate_compact(
-        fm, ssa, jnp.clip(rows_sel, 0, n), ok_sel,
-        k_sample=params.sa_sample, capacity=capacity, fm2=fm2, bi=bi,
-    )
-    ovf = ovf | (ok_sel & ~ok_loc).any(axis=1)
-    # more real hit slots than the per-read locate budget keeps
-    ovf = ovf | (use.sum(axis=1) > KLOC)
+    lo, hi, offsets, sval, flat_seeds = seed_and_search(
+        fm, all_reads, lens2, params=params, lut=lut, fm2=fm2)
+    cand, ovf, n_drop = select_and_locate(
+        fm, ssa, lo, hi, offsets, sval, L, params=params, fm2=fm2, bi=bi)
+    S = lo.shape[1]
     SENT = n + 2 * L + 1
-    cand = jnp.where(ok_loc, pos - offs_sel, SENT)
-    cand = jnp.where(cand < 0, 0, cand)  # clamp starts hanging off the left
 
     if params.seed_mismatches >= 1:
         # 1-mismatch seeding (bowtie2 -N 1; ref: mapping_inl.h
