@@ -134,7 +134,15 @@ def main(argv=None):
         time.time()) for _ in range(10))
     print(f"[hg] dispatch const {t_null*1e3:.1f} ms", file=sys.stderr)
     checksum_time = make_timer(args.iters, t_null)
-    rows = []
+
+    class _Rows(list):
+        # every row also streams to stderr as it lands, so a killed
+        # run (tunnel death, timeout) still leaves its measurements
+        def append(self, row):
+            print("ROW " + json.dumps(row), file=sys.stderr, flush=True)
+            super().append(row)
+
+    rows = _Rows()
 
     def maybe_deepen_lut(mapper, params):
         """--lut-k: rebuild each shard's LUT at a deeper k from the

@@ -47,6 +47,14 @@ def _shard_bounds(n: int, shard_bp: int, overlap: int):
     start = 0
     while start < n:
         end = min(start + shard_bp, n)
+        if bounds and n - start <= overlap:
+            # the tail's whole span already lies inside the previous
+            # shard's overlap: its ownership folds left instead of
+            # paying a full per-batch candidate stage for a sliver
+            # (a 1 KB tail shard costs the same ~450 ms/batch as a
+            # 1.6 Gbp one — the stage cost is batch-shaped, not
+            # text-shaped)
+            break
         bounds.append((start, min(end + overlap, n)))
         start = end
     return bounds
@@ -206,6 +214,15 @@ def load_sharded_index(prefix: str):
     with open(prefix + ".manifest.json") as f:
         man = json.load(f)
     d = os.path.dirname(os.path.abspath(prefix + ".manifest.json"))
+    entries = list(man["shards"])
+    while (len(entries) > 1
+           and entries[-2]["start"] + entries[-2]["length"]
+           >= entries[-1]["start"] + entries[-1]["length"]):
+        # older builds emitted a sliver tail shard fully covered by
+        # the previous shard's overlap (see _shard_bounds): fold its
+        # ownership left and skip loading it
+        entries.pop()
+    man = {**man, "shards": entries}
     shards = []
     for s in man["shards"]:
         fm, ssa, _g, meta = load_index(os.path.join(d, s["file"]))

@@ -98,12 +98,14 @@ class BamWriter:
     """BAM encoder over BGZF (API mirrors SamWriter)."""
 
     def __init__(self, path, ref_names, ref_lens, program="tpu_bowtie",
-                 version="0.1.0", cmdline=""):
+                 version="0.1.0", cmdline="", rg_line: str | None = None):
         self._w = BgzfWriter(path)
         self._refs = {n: i for i, n in enumerate(ref_names)}
         text = "@HD\tVN:1.6\tSO:unsorted\n"
         for n, l in zip(ref_names, ref_lens):
             text += f"@SQ\tSN:{n}\tLN:{l}\n"
+        if rg_line:  # read group (bowtie2 --rg-id/--rg)
+            text += rg_line.rstrip("\n") + "\n"
         text += f"@PG\tID:{program}\tPN:{program}\tVN:{version}\tCL:{cmdline}\n"
         hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
         hdr += struct.pack("<i", len(ref_names))

@@ -59,7 +59,8 @@ class SamWriter:
     """Streaming SAM text writer (plain or .gz)."""
 
     def __init__(self, path, ref_names, ref_lens, program="tpu_bowtie",
-                 version="0.1.0", cmdline="", append=False):
+                 version="0.1.0", cmdline="", append=False,
+                 rg_line: str | None = None):
         path = str(path)
         if append:  # shard-restart resume: keep the existing header
             self._f = open(path, "a")
@@ -70,6 +71,8 @@ class SamWriter:
         self._f.write("@HD\tVN:1.6\tSO:unsorted\n")
         for name, ln in zip(ref_names, ref_lens):
             self._f.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
+        if rg_line:  # read group (bowtie2 --rg-id/--rg)
+            self._f.write(rg_line.rstrip("\n") + "\n")
         self._f.write(
             f"@PG\tID:{program}\tPN:{program}\tVN:{version}\tCL:{cmdline}\n"
         )

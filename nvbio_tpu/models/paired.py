@@ -163,10 +163,64 @@ def _chunked_window_score(pats, lens, texts, tlens, quals, params, plan,
     return {"score": best, "t_end": t_end, "p_end": lens}
 
 
+def _pair_cases(params: MapperParams, p1, e1, st1, p2, e2, st2):
+    """Concordance predicate over broadcastable position/strand arrays
+    (bowtie2 pair policy, ref: params.cpp --fr/--rf/--ff --dovetail
+    --no-contain --no-overlap): returns (ok_a, ok_b) — case a = mate 1
+    upstream, case b = mate 2 upstream.  Insert = downstream end -
+    upstream start.  Positions are win_start approximations of the
+    alignment start (accurate to gaps), so the insert bounds and the
+    dovetail test carry band_w slack; by default overlapping and
+    contained mates stay concordant, dovetailing (an alignment
+    extending past its mate's far end) does not.  Shared by the
+    concordant candidate matrix and the rescue-pair validation so a
+    rescued pair cannot violate the same policy."""
+    slack = params.band_w
+    ins_a = e2 - p1  # mate1 upstream
+    ins_b = e1 - p2  # mate2 upstream
+    if params.pe_orient == "fr":
+        str_a = (st1 == 0) & (st2 == 1)
+        str_b = (st1 == 1) & (st2 == 0)
+    elif params.pe_orient == "rf":
+        str_a = (st1 == 1) & (st2 == 0)
+        str_b = (st1 == 0) & (st2 == 1)
+    elif params.pe_orient == "ff":
+        str_a = (st1 == 0) & (st2 == 0)  # fwd fragment: mate1 upstream
+        str_b = (st1 == 1) & (st2 == 1)  # RC fragment: mate2 upstream
+    else:
+        raise ValueError(f"unknown pe_orient {params.pe_orient!r}")
+
+    def _geom_ok(up_s, up_e, dn_s, dn_e):
+        ok = jnp.ones(jnp.broadcast_shapes(up_s.shape, dn_s.shape), bool)
+        if not params.pe_dovetail:
+            # dovetail = the "wrong" mate starts upstream (bowtie2
+            # manual --dovetail); the upstream mate merely extending
+            # past the downstream's END is containment, allowed by
+            # default
+            dovetail = dn_s < up_s - slack
+            ok = ok & ~dovetail
+        if params.pe_no_contain:
+            contain = ((dn_s >= up_s) & (dn_e <= up_e)) | (
+                (up_s >= dn_s) & (up_e <= dn_e))
+            ok = ok & ~contain
+        if params.pe_no_overlap:
+            ok = ok & ~((dn_s < up_e) & (up_s < dn_e))
+        return ok
+
+    ok_a = str_a & (ins_a >= params.minins - slack) & (
+        ins_a <= params.maxins + slack) & _geom_ok(p1, e1, p2, e2)
+    ok_b = str_b & (ins_b >= params.minins - slack) & (
+        ins_b <= params.maxins + slack) & _geom_ok(p2, e2, p1, e1)
+    return ok_a, ok_b
+
+
 def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
-            mate_lens, mate_quals, params, use_pallas):
+            mate_lens, mate_quals, params, use_pallas,
+            mate_is_2: bool = True):
     """Opposite-mate window search: semi-global DP of the mate (in the
-    orientation implied by FR) over the insert window of the anchor.
+    orientation implied by params.pe_orient) over the insert window of
+    the anchor (ref: score_inl.h ``score_opposite`` + params.cpp
+    --fr/--rf/--ff).
 
     Returns (score, win_start, strand, t_end, p_end) for the rescued
     mate; win_start is the window origin used (for traceback reuse)."""
@@ -175,14 +229,30 @@ def _rescue(genome, n, anchor_ws, anchor_strand, anchor_len, mate_reads,
     rescue_w = params.maxins + 2 * W  # diagonals cover the whole window
     LT = L + 2 * rescue_w
     rc_reads, rc_quals = _revcomp_batch(mate_reads, mate_lens, mate_quals)
-    # anchor fwd -> mate is RC, window starts at the anchor; anchor rev
-    # -> mate is FWD, window ends at the anchor's right end
-    m_strand = jnp.where(anchor_strand == 0, 1, 0).astype(jnp.int32)
+    # expected mate strand: fr/rf mates are opposite-strand, ff same
+    if params.pe_orient == "ff":
+        m_strand = anchor_strand.astype(jnp.int32)
+    else:
+        m_strand = jnp.where(anchor_strand == 0, 1, 0).astype(jnp.int32)
     pats = jnp.where(m_strand[:, None] == 1, rc_reads, mate_reads)
     pquals = jnp.where(m_strand[:, None] == 1, rc_quals, mate_quals)
-    ws_fwd_anchor = anchor_ws  # mate downstream of a forward anchor
-    ws_rev_anchor = anchor_ws + anchor_len - params.maxins - 2 * W
-    win_start = jnp.where(anchor_strand == 0, ws_fwd_anchor, ws_rev_anchor)
+    # window side: is the missing mate DOWNSTREAM of the anchor?
+    #   fr: downstream iff anchor forward (fwd mate is upstream)
+    #   rf: downstream iff anchor reverse (rev mate is upstream)
+    #   ff: mate 1 upstream on the forward fragment — rescuing mate 2
+    #       from a forward anchor looks downstream, mate 1 upstream
+    #       (and mirrored when the fragment is reverse-complemented)
+    if params.pe_orient == "fr":
+        downstream = anchor_strand == 0
+    elif params.pe_orient == "rf":
+        downstream = anchor_strand == 1
+    elif params.pe_orient == "ff":
+        downstream = ((anchor_strand == 0) == bool(mate_is_2))
+    else:
+        raise ValueError(f"unknown pe_orient {params.pe_orient!r}")
+    ws_down = anchor_ws  # mate downstream of the anchor
+    ws_up = anchor_ws + anchor_len - params.maxins - 2 * W
+    win_start = jnp.where(downstream, ws_down, ws_up)
     win_start = jnp.clip(win_start, 0, jnp.maximum(n - 1, 0)).astype(jnp.int32)
     gidx = win_start[:, None] + jnp.arange(LT, dtype=jnp.int32)
     texts = genome[gidx]
@@ -260,16 +330,13 @@ def pe_map_batch(
     p2 = c2["win_start"][:, None, :]
     s1ok = (c1["score"] >= smin1[:, None])[:, :, None]
     s2ok = (c2["score"] >= smin2[:, None])[:, None, :]
-    # FR: fwd mate first, rev mate second; insert = rev_end - fwd_start.
-    # win_start approximates alignment start to within band_w: allow
-    # that much slack on the insert bounds.
-    slack = params.band_w
-    ins_a = p2 + l2[:, None, None] - p1  # mate1 fwd, mate2 rev
-    conc_a = (st1 == 0) & (st2 == 1) & (ins_a >= params.minins - slack) & (
-        ins_a <= params.maxins + slack)
-    ins_b = p1 + l1[:, None, None] - p2  # mate2 fwd, mate1 rev
-    conc_b = (st1 == 1) & (st2 == 0) & (ins_b >= params.minins - slack) & (
-        ins_b <= params.maxins + slack)
+    # Orientation + insert + geometry (bowtie2 --fr/--rf/--ff +
+    # --dovetail/--no-contain/--no-overlap): case a = mate 1 upstream,
+    # case b = mate 2 upstream — shared with the rescue-pair
+    # validation below via _pair_cases.
+    e1 = p1 + l1[:, None, None]
+    e2 = p2 + l2[:, None, None]
+    conc_a, conc_b = _pair_cases(params, p1, e1, st1, p2, e2, st2)
     if span is not None:
         # pair ownership: leftmost (forward) mate's origin inside the
         # shard's ownership interval
@@ -325,9 +392,11 @@ def pe_map_batch(
         g = lambda a: a[gi]
 
         r2c = _rescue(genome, n, g(an1["win_start"]), g(an1["strand"]),
-                      g(l1), g(r2), g(l2), g(q2), params, use_pallas)
+                      g(l1), g(r2), g(l2), g(q2), params, use_pallas,
+                      mate_is_2=True)
         r1c = _rescue(genome, n, g(an2["win_start"]), g(an2["strand"]),
-                      g(l2), g(r1), g(l1), g(q1), params, use_pallas)
+                      g(l2), g(r1), g(l1), g(q1), params, use_pallas,
+                      mate_is_2=False)
 
         def scat(vals, fill):
             out = jnp.full((R + 1,), fill, vals.dtype)
@@ -339,8 +408,20 @@ def pe_map_batch(
         res1 = {"score": scat(r1c["score"], jnp.int32(NEG_INF)),
                 "win_start": scat(r1c["win_start"], jnp.int32(0)),
                 "strand": scat(r1c["strand"], jnp.int32(0))}
-        resc2_ok = an1["aligned"] & (res2["score"] >= smin2)
-        resc1_ok = an2["aligned"] & (res1["score"] >= smin1)
+        # a rescued pair must satisfy the same concordance predicate
+        # (orientation / insert bounds / geometry policy) that admits
+        # candidate pairs — otherwise --rf/--ff/--no-overlap etc.
+        # would be re-admitted through the rescue window
+        va, vb = _pair_cases(
+            params, an1["win_start"], an1["win_start"] + l1,
+            an1["strand"], res2["win_start"], res2["win_start"] + l2,
+            res2["strand"])
+        wa, wb = _pair_cases(
+            params, res1["win_start"], res1["win_start"] + l1,
+            res1["strand"], an2["win_start"], an2["win_start"] + l2,
+            an2["strand"])
+        resc2_ok = an1["aligned"] & (res2["score"] >= smin2) & (va | vb)
+        resc1_ok = an2["aligned"] & (res1["score"] >= smin1) & (wa | wb)
         # prefer the rescue with the higher pair score
         rsc_a = jnp.where(resc2_ok, an1["best"] + res2["score"], NEG_INF)
         rsc_b = jnp.where(resc1_ok, an2["best"] + res1["score"], NEG_INF)
@@ -463,6 +544,44 @@ def pe_map_batch(
     )
 
 
+def apply_pair_policy(res1, res2, info, l1, l2, params: MapperParams):
+    """Bowtie2 pair-reporting policy as a pure host-side pass over
+    finished MapResults (SURVEY.md §7.3(5): isolate PE policy from
+    device compute; ref: params.cpp --no-mixed/--no-discordant +
+    the discordant test in best_approx_inl.h):
+
+    - `discordant` is refined to Bowtie2's definition: BOTH mates
+      aligned UNIQUELY (no second alignment at/above score-min) but
+      violating the pair constraints.  Non-unique non-proper pairs
+      are `mixed` (mate-by-mate SE reports).
+    - --no-discordant demotes discordant pairs to mixed.
+    - --no-mixed suppresses SE fallback: any non-proper,
+      non-reported-discordant pair has both mates reported unmapped.
+
+    Mutates res1/res2/info in place; returns them.  Shared by the
+    single-index, sharded and mesh PE collect paths so every layout
+    applies identical policy."""
+    for i, pi in enumerate(info):
+        if pi["proper"]:
+            pi["discordant"] = False
+            continue
+        r1, r2 = res1[i], res2[i]
+
+        def unique(r, ln):
+            if not r.aligned:
+                return False
+            return r.second is None or r.second < score_min_host(
+                int(ln), params)
+
+        disc = (pi["discordant"] and unique(r1, l1[i])
+                and unique(r2, l2[i]))
+        pi["discordant"] = disc and not params.no_discordant
+        if not pi["discordant"] and params.no_mixed:
+            res1[i] = MapResult(aligned=False)
+            res2[i] = MapResult(aligned=False)
+    return res1, res2, info
+
+
 class PairedMapper(Mapper):
     """Paired-end orchestration: pe forward step + per-mate traceback +
     SAM with pair flags (ref: nvBowtie ComputeThreadPE + output)."""
@@ -552,7 +671,8 @@ class PairedMapper(Mapper):
             {"proper": bool(proper[i]), "discordant": bool(discordant[i])}
             for i in range(R)
         ]
-        return res1[:R], res2[:R], info
+        return apply_pair_policy(res1[:R], res2[:R], info,
+                                 p1[1], p2[1], self.params)
 
     def _map_pair_chunk(self, s1, l1, q1, s2, l2, q2):
         return self._collect_pair_chunk(

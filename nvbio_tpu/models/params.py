@@ -96,6 +96,23 @@ class MapperParams:
     minins: int = 0
     maxins: int = 500
     enable_rescue: bool = True  # opposite-mate window search
+    # mate orientation (bowtie2 --fr/--rf/--ff, ref: params.cpp):
+    # "fr" upstream mate forward / downstream reverse (Illumina PE),
+    # "rf" upstream reverse / downstream forward (mate-pair libs),
+    # "ff" both mates same strand, mate 1 upstream on forward
+    pe_orient: str = "fr"
+    # concordant-pair geometry policy (bowtie2 --dovetail /
+    # --no-contain / --no-overlap; ref: params.cpp + PE policy in
+    # best_approx_inl.h): defaults match bowtie2 (overlap+containment
+    # concordant, dovetailing not)
+    pe_dovetail: bool = False
+    pe_no_contain: bool = False
+    pe_no_overlap: bool = False
+    # reporting policy (bowtie2 --no-mixed / --no-discordant): mixed =
+    # per-mate SE fallback when the pair is not proper; discordant =
+    # both mates unique but violating the pair constraints
+    no_mixed: bool = False
+    no_discordant: bool = False
     # effort rounds (ref: nvBowtie select/score rounds loop,
     # ``max_effort``): reads whose round-1 budgets overflowed
     # (repetitive seeds skipped, locate slots dropped, candidate list

@@ -713,4 +713,6 @@ class PairedShardedMapper(ShardedMapper):
             {"proper": bool(proper[i]), "discordant": bool(discordant[i])}
             for i in range(R)
         ]
-        return res1[:R], res2[:R], info
+        from .paired import apply_pair_policy
+        return apply_pair_policy(res1[:R], res2[:R], info,
+                                 p1[1], p2[1], self.params)

@@ -39,6 +39,45 @@ def main(argv=None):
                    "reads want more indel drift room, e.g. 63)")
     p.add_argument("--minins", type=int, default=0)
     p.add_argument("--maxins", type=int, default=500)
+    orient = p.add_mutually_exclusive_group()
+    orient.add_argument("--fr", dest="pe_orient", action="store_const",
+                        const="fr", help="mates: upstream forward / "
+                        "downstream reverse (default; bowtie2 --fr)")
+    orient.add_argument("--rf", dest="pe_orient", action="store_const",
+                        const="rf", help="mates: upstream reverse / "
+                        "downstream forward (bowtie2 --rf)")
+    orient.add_argument("--ff", dest="pe_orient", action="store_const",
+                        const="ff", help="mates: both same strand, "
+                        "mate 1 upstream (bowtie2 --ff)")
+    p.set_defaults(pe_orient="fr")
+    p.add_argument("--no-mixed", action="store_true",
+                   help="suppress single-end fallback for pairs that "
+                   "fail to align as pairs (bowtie2 --no-mixed)")
+    p.add_argument("--no-discordant", action="store_true",
+                   help="suppress discordant pair reports "
+                   "(bowtie2 --no-discordant)")
+    p.add_argument("--dovetail", action="store_true",
+                   help="mates that extend past each other can still "
+                   "be concordant (bowtie2 --dovetail)")
+    p.add_argument("--no-contain", action="store_true",
+                   help="a mate containing the other is not "
+                   "concordant (bowtie2 --no-contain)")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="overlapping mates are not concordant "
+                   "(bowtie2 --no-overlap)")
+    p.add_argument("--un", metavar="FQ",
+                   help="write reads that fail to align to this "
+                   "FASTQ(.gz) (bowtie2 --un)")
+    p.add_argument("--al", metavar="FQ",
+                   help="write reads that align at least once to this "
+                   "FASTQ(.gz) (bowtie2 --al)")
+    p.add_argument("--rg-id", metavar="ID",
+                   help="read group ID: adds @RG SAM header + RG:Z "
+                   "tag on every record (bowtie2 --rg-id)")
+    p.add_argument("--rg", action="append", default=[],
+                   metavar="FIELD:VALUE",
+                   help="add FIELD:VALUE to the @RG line (repeatable; "
+                   "needs --rg-id; bowtie2 --rg)")
     p.add_argument("--local", action="store_true")
     p.add_argument("--ma", type=int, default=None,
                    help="match bonus (default: 2 in --local, 0 "
@@ -108,6 +147,8 @@ def main(argv=None):
         p.error("--resume supports unpaired plain .sam output")
     if not args.U and not (args.m1 and args.m2):
         p.error("need -U or -1/-2")
+    if args.rg and not args.rg_id:
+        p.error("--rg needs --rg-id")
 
     if args.cpu:
         # force the CPU platform before any jax use (the environment
@@ -214,6 +255,12 @@ def main(argv=None):
         score_min_b=sm_b,
         minins=args.minins,
         maxins=args.maxins,
+        pe_orient=args.pe_orient,
+        pe_dovetail=args.dovetail,
+        pe_no_contain=args.no_contain,
+        pe_no_overlap=args.no_overlap,
+        no_mixed=args.no_mixed,
+        no_discordant=args.no_discordant,
         batch_size=args.batch,
         sa_sample=meta["sa_sample"],
         lut_k=meta.get("lut_k", 0),
@@ -271,9 +318,46 @@ def main(argv=None):
     writer_cls = SamWriter
     if args.sam.endswith(".bam"):
         from ..io.bam import BamWriter as writer_cls
+    rg_line = None
+    if args.rg_id:
+        rg_line = "@RG\tID:" + args.rg_id + "".join(
+            "\t" + f for f in args.rg)
     writer = writer_cls(args.sam, meta["contig_names"], meta["contig_lens"],
                         cmdline=" ".join(argv or sys.argv[1:]),
-                        **({"append": True} if n_done else {}))
+                        **({"append": True} if n_done else {}),
+                        **({"rg_line": rg_line} if rg_line else {}))
+    _write0 = writer.write
+    if args.rg_id:
+        def _write_rg(rec):
+            rec.tags.append(("RG", "Z", args.rg_id))
+            _write0(rec)
+        writer.write = _write_rg
+
+    # --un / --al: route reads by alignment outcome to FASTQ(.gz)
+    # (bowtie2 --un/--al; PE mates carry /1 //2 suffixes)
+    import gzip as _gzip
+
+    def _open_fq(path):
+        return (_gzip.open(path, "wt") if path.endswith(".gz")
+                else open(path, "w"))
+
+    un_f = _open_fq(args.un) if args.un else None
+    al_f = _open_fq(args.al) if args.al else None
+
+    def fq_route(names, reads, lens, qmat, aligned_flags, suffix=""):
+        if un_f is None and al_f is None:
+            return
+        from ..basic.alphabet import dna_to_char
+        for i, nm in enumerate(names):
+            f = al_f if aligned_flags[i] else un_f
+            if f is None:
+                continue
+            ln = int(lens[i])
+            seq = dna_to_char(
+                np.asarray(reads[i][:ln], np.uint8)).tobytes().decode()
+            q = (np.asarray(qmat[i][:ln], np.uint8) + 33
+                 ).clip(33, 126).astype(np.uint8).tobytes().decode()
+            f.write(f"@{nm}{suffix}\n{seq}\n+\n{q}\n")
 
     def batches(path):
         """Input batches, optionally restricted to this host's shard
@@ -322,6 +406,8 @@ def main(argv=None):
                     a[0] if a else MapResult(aligned=False)
                     for a in all_res
                 ])
+                fq_route(names, reads, lens, qmat,
+                         [bool(a and a[0].aligned) for a in all_res])
                 with stats.timer("output"):
                     for rec in mapper.to_sam_records_all(
                             names, reads, lens, qmat, all_res):
@@ -333,6 +419,8 @@ def main(argv=None):
                 for names, reads, lens, qmat, results in \
                         mapper.map_stream(packed(args.U)):
                     stats.observe(results)
+                    fq_route(names, reads, lens, qmat,
+                             [r.aligned for r in results])
                     with stats.timer("output"):
                         for rec in mapper.to_sam_records(
                                 names, reads, lens, qmat, results):
@@ -358,12 +446,19 @@ def main(argv=None):
                     stats.observe(res2)
                     stats.proper_pairs += sum(i["proper"] for i in info)
                     stats.discordant += sum(i["discordant"] for i in info)
+                    fq_route(n1, r1, l1, qm1,
+                             [r.aligned for r in res1], "/1")
+                    fq_route(n1, r2, l2, qm2,
+                             [r.aligned for r in res2], "/2")
                     with stats.timer("output"):
                         for rec in mapper.to_sam_records_pe(
                                 n1, r1, l1, qm1, r2, l2, qm2,
                                 res1, res2, info):
                             writer.write(rec)
     writer.close()
+    for f in (un_f, al_f):
+        if f is not None:
+            f.close()
     stats.locate_dropped = getattr(mapper, "locate_dropped", 0)
     stats.escalated = getattr(mapper, "escalated", 0)
     stats.overflowed = getattr(mapper, "overflowed", 0)

