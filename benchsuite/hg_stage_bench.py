@@ -241,17 +241,28 @@ def main(argv=None):
         jr, jl = jnp.asarray(seqs), jnp.asarray(ls.astype(np.int32))
         jq = jnp.asarray(qs.astype(np.uint8))
         total = 0.0
+        # hoisted strands + seed extraction (index-independent; runs
+        # once per batch in production ShardedMapper._dispatch_chunk)
+        from nvbio_tpu.models.mapper import stage_reads
+        dt = checksum_time(
+            lambda r, l, q: stage_reads(r, l, q, params=params)[3],
+            jr, jl, jq)
+        rows.append({"phase": name, "stage": "stage_reads_hoisted",
+                     "ms": round(dt * 1e3, 1)})
+        total += dt
+        pre = jax.jit(lambda r, l, q: stage_reads(
+            r, l, q, params=params))(jr, jl, jq)
         cands = []
         for s in shard_ids:
             st = mapper.shard_state[s]
-            fn = lambda f, s2, g, r, l, q, lt, gw, f2, lo_, hi_: \
+            fn = lambda f, s2, g, r, l, q, lt, gw, f2, lo_, hi_, pr: \
                 _shard_cands(f, s2, g, r, l, q, lo_, hi_,
                              params=params, use_pallas=mapper.use_pallas,
-                             lut=lt, gwords=gw, fm2=f2)
+                             lut=lt, gwords=gw, fm2=f2, pre=pr)
             fargs = (st["fm"], st["ssa"], st["g"], jr, jl, jq,
                      st["lut"], st["gw"], st["fm2"],
                      jnp.asarray(st["own_lo"], jnp.int32),
-                     jnp.asarray(st["own_hi"], jnp.int32))
+                     jnp.asarray(st["own_hi"], jnp.int32), pre)
             dt = checksum_time(fn, *fargs)
             print(f"[{name}] candidate stage shard {s}: "
                   f"{dt*1e3:.0f} ms", file=sys.stderr)
@@ -295,10 +306,17 @@ def main(argv=None):
 
     if not args.skip_b:
         # phase B: ONE shard + resident device pair-BWT — the mesh
-        # per-chip profile
+        # per-chip profile.  Build a single-shard index over shard 0's
+        # segment: fm2_mode="resident" on the FULL index would derive
+        # a pair-BWT for every shard (~3 B/bp each) and OOM the chip;
+        # a mesh chip holds exactly one shard + its pair-BWT.
+        from nvbio_tpu.fmindex.sharded import ShardedIndex
+        s0 = sidx.shards[0]
+        st0_len = int(s0[4])
+        sidx0 = ShardedIndex([s0], st0_len, sidx.sa_sample, sidx.lut_k)
         mp2 = MapperParams(batch_size=args.batch, sa_sample=4,
                            use_fm2=True)
-        mapper = ShardedMapper(sidx, genome, params=mp2,
+        mapper = ShardedMapper(sidx0, genome[:st0_len], params=mp2,
                                fm2_mode="resident")
         run_phase("B_one_shard_fm2", mapper, [0],
                   substages=args.substages)

@@ -265,7 +265,7 @@ def _wavefront_tb(out, hard, patterns, plens, texts, tlens, quals,
     slices so the working set stays bounded.
     """
     from ..ops.wavefront_dp import wavefront_dirs_pallas
-    from .wavefront_walk import walk_wavefront_dirs
+    from .wavefront_walk import walk_wavefront_dirs_device, compress_ops
 
     idx = np.flatnonzero(np.asarray(hard))
     patterns = np.asarray(patterns)
@@ -283,17 +283,24 @@ def _wavefront_tb(out, hard, patterns, plens, texts, tlens, quals,
             None if quals is None else quals[sl],
             scheme=scheme, atype=atype, band_w=band_w,
             interpret=interpret)
-        dirs = np.asarray(dirs)
-        pe = np.asarray(res["p_end"])
-        te = np.asarray(res["t_end"])
+        # the flags STAY in HBM: the device walk (one flag gather per
+        # lane per step inside a while_loop) replaces the 320-576 MB
+        # dirs D2H with a ~KB/lane op-stream transfer (VERDICT r4 #5;
+        # bit-identical to the host walk, tested)
+        ops_d, n_d, ps_d, ts_d = walk_wavefront_dirs_device(
+            dirs, res["p_end"], res["t_end"], plan=plan,
+            band_w=band_w)
+        ops_h = np.asarray(ops_d)
+        n_h = np.asarray(n_d)
+        ps_h = np.asarray(ps_d)
+        ts_h = np.asarray(ts_d)
         sc = np.asarray(res["score"])
         for li, b in enumerate(sl):
             # pass 1 and pass 3 run the same kernel: ends must agree
             assert sc[li] == out["score"][b], (b, sc[li],
                                                out["score"][b])
-            ro, rl, ps, ts = walk_wavefront_dirs(
-                dirs[li], plan, band_w, pe[li], te[li])
-            runs_all[b] = (ro, rl, ps, ts)
+            ro, rl = compress_ops(ops_h[li, :n_h[li]])
+            runs_all[b] = (ro, rl, int(ps_h[li]), int(ts_h[li]))
     if not runs_all:
         return
     # device-derived arrays are read-only views; mutation needs copies

@@ -288,15 +288,11 @@ def locate_compact(fm, ssa, rows, ok, *, k_sample: int, capacity: int,
     return (pos_flat.reshape(K, N).T, keep.reshape(K, N).T, n_dropped)
 
 
-def seed_and_search(fm, all_reads, lens2, *, params: MapperParams,
-                    lut=None, fm2=None):
-    """Seed extraction + FM backward search (ref: mapping_inl.h
-    ``map_whole_read``/``map_exact``; SURVEY.md §4.1 hot loop 2).
-
-    Split out of candidate_stage so the hg-scale stage bench
-    (benchsuite/hg_stage_bench.py --substages) times exactly the code
-    the mapper runs.  Returns (lo, hi (2R, S), offsets (2R, S), sval,
-    flat_seeds (2R*S, seed_len))."""
+def extract_seed_batch(all_reads, lens2, *, params: MapperParams):
+    """Seed extraction alone (index-INDEPENDENT: sharded mappers hoist
+    this out of the per-shard loop — one extraction serves every
+    shard's backward search).  Returns (seeds (2R, S, seed_len),
+    offsets (2R, S), sval)."""
     R2, L = all_reads.shape
     if params.seed_slots > 0:
         # per-read -i (ref: params.cpp SimpleFunc per read): interval
@@ -317,6 +313,24 @@ def seed_and_search(fm, all_reads, lens2, *, params: MapperParams,
         # (S,) static offsets -> per-read layout shared with the
         # dynamic path (XLA folds the broadcast)
         offsets = jnp.broadcast_to(offsets[None, :], (R2, S))
+    return seeds, offsets, sval
+
+
+def seed_and_search(fm, all_reads, lens2, *, params: MapperParams,
+                    lut=None, fm2=None, pre_seeds=None):
+    """Seed extraction + FM backward search (ref: mapping_inl.h
+    ``map_whole_read``/``map_exact``; SURVEY.md §4.1 hot loop 2).
+
+    Split out of candidate_stage so the hg-scale stage bench
+    (benchsuite/hg_stage_bench.py --substages) times exactly the code
+    the mapper runs.  ``pre_seeds``: hoisted (seeds, offsets, sval)
+    from extract_seed_batch.  Returns (lo, hi (2R, S), offsets
+    (2R, S), sval, flat_seeds (2R*S, seed_len))."""
+    R2, L = all_reads.shape
+    seeds, offsets, sval = (pre_seeds if pre_seeds is not None
+                            else extract_seed_batch(
+                                all_reads, lens2, params=params))
+    S = seeds.shape[1]
     flat_seeds = seeds.reshape(R2 * S, params.seed_len)
     lut_k = params.lut_k if lut is not None else 0
     if fm2 is not None:
@@ -377,6 +391,20 @@ def select_and_locate(fm, ssa, lo, hi, offsets, sval, L, *,
     return cand, ovf, n_drop
 
 
+@functools.partial(jax.jit, static_argnames=("params", "uniform_shift"))
+def stage_reads(reads, lens, quals, *, params: MapperParams,
+                uniform_shift: int = -1):
+    """Index-independent front half of candidate_stage (strands +
+    seed extraction), hoisted so sharded mappers run it ONCE per
+    batch instead of once per shard.  Returns the ``pre`` tuple
+    candidate_stage accepts."""
+    all_reads, all_quals, lens2 = both_strands(
+        reads, lens, quals, uniform_shift=uniform_shift)
+    seeds, offsets, sval = extract_seed_batch(all_reads, lens2,
+                                              params=params)
+    return all_reads, all_quals, lens2, seeds, offsets, sval
+
+
 def candidate_stage(
     fm: FMIndex,
     ssa: SSA,
@@ -392,6 +420,7 @@ def candidate_stage(
     fm2=None,
     bi: bool = False,
     uniform_shift: int = -1,
+    pre=None,
 ):
     """Seed -> map -> select -> locate -> score: per-candidate arrays.
 
@@ -399,14 +428,26 @@ def candidate_stage(
     columns [0, C) = forward, [C, 2C) = reverse): score, win_start,
     t_end, p_end — the shared front half of the SE and PE pipelines
     (ref: best_approx_inl.h stages before reduce).
+
+    ``pre``: hoisted index-independent front half — (all_reads,
+    all_quals, lens2, seeds, offsets, sval) from ``stage_reads``.  A
+    sharded mapper computes it ONCE per batch and reuses it for every
+    shard's stage (strands + seed extraction repeated S times was
+    pure waste; VERDICT r4 missing #2 follow-up).
     """
     R, L = reads.shape
     n = fm.n
 
-    all_reads, all_quals, lens2 = both_strands(
-        reads, lens, quals, uniform_shift=uniform_shift)
+    if pre is None:
+        all_reads, all_quals, lens2 = both_strands(
+            reads, lens, quals, uniform_shift=uniform_shift)
+        pre_seeds = None
+    else:
+        all_reads, all_quals, lens2, seeds_p, offs_p, sval_p = pre
+        pre_seeds = (seeds_p, offs_p, sval_p)
     lo, hi, offsets, sval, flat_seeds = seed_and_search(
-        fm, all_reads, lens2, params=params, lut=lut, fm2=fm2)
+        fm, all_reads, lens2, params=params, lut=lut, fm2=fm2,
+        pre_seeds=pre_seeds)
     cand, ovf, n_drop = select_and_locate(
         fm, ssa, lo, hi, offsets, sval, L, params=params, fm2=fm2, bi=bi)
     S = lo.shape[1]

@@ -107,10 +107,10 @@ def _sharded_all_merge(per_shard, lens, params: MapperParams, k=8):
 @functools.partial(jax.jit, static_argnames=("params", "use_pallas"))
 def _shard_cands(fm, ssa, genome_s, reads, lens, quals, lo, hi, *,
                  params: MapperParams, use_pallas=False, lut=None,
-                 gwords=None, fm2=None):
+                 gwords=None, fm2=None, pre=None):
     c = candidate_stage(fm, ssa, genome_s, reads, lens, quals,
                         params=params, use_pallas=use_pallas, lut=lut,
-                        gwords=gwords, fm2=fm2)
+                        gwords=gwords, fm2=fm2, pre=pre)
     # ownership interval [lo, hi): alignments starting in the overlap
     # tail belong to the next shard, and window origins clamped to the
     # shard's left edge (local 0, non-first shards) are clipped
@@ -396,12 +396,17 @@ class ShardedMapper(Mapper):
         jr = jnp.asarray(seqs)
         jl = jnp.asarray(lens.astype(np.int32))
         jq = jnp.asarray(quals.astype(np.uint8))
+        # strands + seed extraction are index-independent: run once,
+        # reuse for every shard's stage (from mapper.stage_reads)
+        from .mapper import stage_reads
+        pre = stage_reads(jr, jl, jq, params=params)
         cands = [
             _shard_cands(st["fm"], st["ssa"], st["g"], jr, jl, jq,
                          jnp.asarray(st["own_lo"], jnp.int32),
                          jnp.asarray(st["own_hi"], jnp.int32),
                          params=params, use_pallas=self.use_pallas,
-                         lut=st["lut"], gwords=st["gw"], fm2=st["fm2"])
+                         lut=st["lut"], gwords=st["gw"], fm2=st["fm2"],
+                         pre=pre)
             for st in self.shard_state
         ]
         fwd = _sharded_top2(cands, jl, params)
