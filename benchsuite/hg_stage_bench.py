@@ -85,6 +85,10 @@ def main(argv=None):
                    "from the shard text via the native histogram)")
     p.add_argument("--cpu", action="store_true",
                    help="pin to the CPU backend (smoke runs / CI)")
+    p.add_argument("--extend-frac", type=float, default=None,
+                   help="override params.extend_frac (budget sweep)")
+    p.add_argument("--locate-frac", type=float, default=None,
+                   help="override params.locate_frac (budget sweep)")
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -120,8 +124,24 @@ def main(argv=None):
         save_sharded_index(prefix, sidx, genome, ["hgr"], [n])
         print(f"[hg] index built in {time.time()-t0:.0f}s",
               file=sys.stderr)
-    loaded = load_sharded_index(prefix)
-    sidx = loaded[0] if isinstance(loaded, tuple) else loaded
+    if args.skip_a and not args.skip_b:
+        # phase B only: load JUST shard 0 — load_sharded_index device-
+        # puts every shard eagerly, and idle shard state beside the
+        # ~3 B/bp pair-BWT OOMs the chip at 1.6 Gbp shards
+        from nvbio_tpu.fmindex.sharded import ShardedIndex, _strip_bi_ssa
+        from nvbio_tpu.io.index_file import load_index
+        with open(prefix + ".manifest.json") as f:
+            man = json.load(f)
+        s0 = man["shards"][0]
+        d = os.path.dirname(os.path.abspath(prefix + ".manifest.json"))
+        fm0, ssa0, _g0, meta0 = load_index(os.path.join(d, s0["file"]))
+        sidx = ShardedIndex(
+            [(fm0, _strip_bi_ssa(ssa0), meta0.get("lut"),
+              s0["start"], s0["length"])],
+            man["n_total"], man["sa_sample"], man["lut_k"])
+    else:
+        loaded = load_sharded_index(prefix)
+        sidx = loaded[0] if isinstance(loaded, tuple) else loaded
 
     sim = simulate_reads(genome, args.batch, read_len=args.read_len,
                          error_rate=0.01, seed=args.seed + 1)
@@ -237,6 +257,11 @@ def main(argv=None):
     def run_phase(name, mapper, shard_ids, substages=False):
         params = mapper._chunk_params(args.read_len, args.read_len)
         params = maybe_deepen_lut(mapper, params)
+        from dataclasses import replace
+        if args.extend_frac is not None:
+            params = replace(params, extend_frac=args.extend_frac)
+        if args.locate_frac is not None:
+            params = replace(params, locate_frac=args.locate_frac)
         seqs, ls, qs = mapper._pad_chunk(sim["seqs"], lens, sim["quals"])
         jr, jl = jnp.asarray(seqs), jnp.asarray(ls.astype(np.int32))
         jq = jnp.asarray(qs.astype(np.uint8))
@@ -270,6 +295,18 @@ def main(argv=None):
                          "ms": round(dt * 1e3, 1)})
             total += dt
             cands.append(jax.jit(fn)(*fargs))
+        # honesty check for budget sweeps: reads whose budgets dropped
+        # work re-run through escalation in production — a "faster"
+        # budget that overflows broadly just moves cost off the bench
+        ovf = np.zeros(args.batch, bool)
+        ldrop = 0
+        for cd in cands:
+            if "overflow" in cd:
+                ovf |= np.asarray(cd["overflow"])[:args.batch]
+            ldrop += int(np.asarray(cd.get("locate_dropped", 0)))
+        rows.append({"phase": name, "stage": "budget_drops",
+                     "overflow_reads": int(ovf.sum()),
+                     "locate_dropped": ldrop})
         dt = checksum_time(
             lambda l, *cs: _sharded_top2(list(cs), l, params), jl, *cands)
         rows.append({"phase": name, "stage": "top2", "ms":

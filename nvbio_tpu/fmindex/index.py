@@ -30,6 +30,54 @@ class FMIndex(NamedTuple):
     C: jnp.ndarray  # (5,) int32 — C[c] = 1 + #{symbols < c}; C[4] = n+1
     primary: jnp.ndarray  # () int32 — BWT row of the sentinel
     n: jnp.ndarray  # () int32 — text length (without sentinel)
+    # optional FUSED block rows (fuse_occ): (n_blocks, 20) int32 =
+    # [bwt words 0..7 | occ_abs 0..3 | occ_sub word-planes 0..7], so
+    # one rank/LF touches ONE gathered row instead of three scattered
+    # elements — the LF chain is the mapper's dominant term (round-5
+    # substage split: 247 of 597 ms/shard).  Column picks within the
+    # row are 20-lane masked reductions (VPU), not gathers.
+    fused: jnp.ndarray | None = None
+
+
+def fuse_occ(fm: FMIndex) -> FMIndex:
+    """Attach the fused (n_blocks, 20) int32 block-row table (see
+    FMIndex.fused).  Derived on device at mapper init; +40 B per
+    128-symbol block of HBM (~0.6 B/bp) buys 3x fewer HBM gathers per
+    rank in backward search and the SSA locate walk."""
+    words_i = jax.lax.bitcast_convert_type(fm.bwt_words, jnp.int32)
+    sub_i = jax.lax.bitcast_convert_type(fm.occ_sub, jnp.int32)
+    fused = jnp.concatenate([words_i, fm.occ_abs, sub_i], axis=1)
+    return fm._replace(fused=fused)
+
+
+def _fused_row(fm: FMIndex, i):
+    """One gathered block row for SA row(s) i: returns (row (..., 20)
+    int32, w, r) with w the 16-symbol word index and r the in-word
+    offset."""
+    b = i >> 7
+    w = (i >> 4) & 7
+    r = i & 15
+    return fm.fused[b], w, r
+
+
+def _row_pick(row, col):
+    """row[..., col] via a masked 20-lane reduction (no gather)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+    return jnp.sum(jnp.where(lane == col[..., None], row, 0), axis=-1)
+
+
+def _rank_fused(fm: FMIndex, c, i):
+    """rank() over the fused row: one HBM gather per (c, i)."""
+    row, w, r = _fused_row(fm, i)
+    word = jax.lax.bitcast_convert_type(
+        _row_pick(row, w).astype(jnp.int32), jnp.uint32)
+    abs_c = _row_pick(row, 8 + c)
+    sub_w = _row_pick(row, 12 + w)
+    sub_c = (sub_w >> (8 * c)) & 0xFF  # occ_sub bytes are 0..112
+    cnt = abs_c + sub_c + popc_2bit_prefix(
+        word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+    ).astype(jnp.int32)
+    return cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
 
 
 class SSA(NamedTuple):
@@ -47,6 +95,8 @@ class SSA(NamedTuple):
 def rank(fm: FMIndex, c, i):
     """occ(c, i): occurrences of symbol c in BWT[0:i), excluding the
     sentinel slot.  c, i: broadcastable int32 arrays; c in [0, 4)."""
+    if fm.fused is not None:
+        return _rank_fused(fm, c, i)
     b = i >> 7
     w = (i >> 4) & 7
     r = i & 15
@@ -154,16 +204,32 @@ def locate(fm: FMIndex, ssa: SSA, idx, k_sample: int):
         b = i >> 7
         w = (i >> 4) & 7
         r = i & 15
-        word = fm.bwt_words[b, w]
-        c = ((word >> (2 * (i & 15)).astype(jnp.uint32)) & 3).astype(
-            jnp.int32)
-        cnt = (
-            fm.occ_abs[b, c]
-            + fm.occ_sub[b, w, c].astype(jnp.int32)
-            + popc_2bit_prefix(
-                word, c.astype(jnp.uint32), r.astype(jnp.uint32)
-            ).astype(jnp.int32)
-        )
+        if fm.fused is not None:
+            # fully-fused LF: the block ROW gather also carries the
+            # occ counts (FMIndex.fused) — 1 HBM gather per step
+            row, w, r = _fused_row(fm, i)
+            word = jax.lax.bitcast_convert_type(
+                _row_pick(row, w).astype(jnp.int32), jnp.uint32)
+            c = ((word >> (2 * (i & 15)).astype(jnp.uint32)) & 3
+                 ).astype(jnp.int32)
+            cnt = (
+                _row_pick(row, 8 + c)
+                + ((_row_pick(row, 12 + w) >> (8 * c)) & 0xFF)
+                + popc_2bit_prefix(
+                    word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+                ).astype(jnp.int32)
+            )
+        else:
+            word = fm.bwt_words[b, w]
+            c = ((word >> (2 * (i & 15)).astype(jnp.uint32)) & 3).astype(
+                jnp.int32)
+            cnt = (
+                fm.occ_abs[b, c]
+                + fm.occ_sub[b, w, c].astype(jnp.int32)
+                + popc_2bit_prefix(
+                    word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+                ).astype(jnp.int32)
+            )
         cnt = cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
         nxt = fm.C[c] + cnt
         i = jnp.where(done, i, nxt)

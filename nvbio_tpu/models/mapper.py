@@ -770,6 +770,11 @@ class Mapper:
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
                  contigs: dict | None = None, lut=None):
+        # fused block rows: 1 HBM gather per rank/LF instead of 3
+        # (fmindex.index.fuse_occ; +~0.6 B/bp device memory)
+        from ..fmindex.index import fuse_occ
+        if getattr(fm, "fused", None) is None:
+            fm = fuse_occ(fm)
         self.fm = fm
         self.ssa = ssa
         self.lut = lut  # optional k-mer range LUT (params.lut_k)

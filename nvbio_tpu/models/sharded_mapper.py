@@ -332,6 +332,7 @@ class ShardedMapper(Mapper):
         # per-shard device state: genome slice (+pad) and index
         # (device_state=False: metadata only — MeshShardedMapper keeps
         # one stacked copy per device instead)
+        from ..fmindex.index import fuse_occ
         self.shard_state = []
         for (fm, ssa, lut, start, length) in sidx.shards:
             g_s = gw_s = None
@@ -339,6 +340,9 @@ class ShardedMapper(Mapper):
                 g_s = jnp.asarray(gp[start : start + length + lt_pad])
                 gw_s = (pack_genome_words(gp[start : start + length])
                         if self.use_pallas else None)
+                if getattr(fm, "fused", None) is None:
+                    # fused block rows: 1 gather per rank/LF (index.py)
+                    fm = fuse_occ(fm)
             self.shard_state.append(dict(
                 fm=fm if device_state else None,
                 ssa=ssa if device_state else None,

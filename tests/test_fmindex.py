@@ -215,3 +215,42 @@ def test_locate_compact_matches_direct_and_overflow():
     np.testing.assert_array_equal(
         np.nonzero(keptT)[0], np.nonzero(okT)[0][:cap])
     np.testing.assert_array_equal(np.asarray(pos2)[kept2], direct[kept2])
+
+
+def test_fused_rank_paths_bit_identical():
+    """The fused block-row rank/LF (FMIndex.fused, one gather per
+    step) must be bit-identical to the 3-gather layout on rank,
+    backward search (with and without LUT) and the SSA locate walk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nvbio_tpu.fmindex import build_fm_index, backward_search, locate
+    from nvbio_tpu.fmindex.index import fuse_occ, rank
+    from nvbio_tpu.fmindex.build import build_kmer_lut
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 4, 30_011, dtype=np.uint8)
+    fm, ssa = build_fm_index(g, sa_sample=8)
+    fmf = fuse_occ(fm)
+
+    ii = jnp.asarray(rng.integers(0, len(g) + 1, 512, dtype=np.int32))
+    for c in range(4):
+        cc = jnp.full(ii.shape, c, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(rank(fm, cc, ii)), np.asarray(rank(fmf, cc, ii)))
+
+    starts = rng.integers(0, len(g) - 22, 256)
+    seeds = jnp.asarray(np.stack([g[s:s + 22] for s in starts])
+                        .astype(np.int32))
+    lo1, hi1 = backward_search(fm, seeds)
+    lo2, hi2 = backward_search(fmf, seeds)
+    np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo2))
+    np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi2))
+    lut = tuple(jnp.asarray(x) for x in build_kmer_lut(g, k=8))
+    lo3, hi3 = backward_search(fmf, seeds, lut=lut, lut_k=8)
+    np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo3))
+    np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi3))
+
+    rows = jnp.asarray(rng.integers(0, len(g) + 1, 512, dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(locate(fm, ssa, rows, k_sample=8)),
+        np.asarray(locate(fmf, ssa, rows, k_sample=8)))
