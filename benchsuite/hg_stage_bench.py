@@ -32,6 +32,7 @@ layout halves phase A's sequential stage count vs round 4's 3-shard).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -200,15 +201,15 @@ def main(argv=None):
         all_reads, all_quals, lens2 = jax.jit(both_strands)(jr, jl, jq)
 
         dt = checksum_time(
-            lambda f, f2, ar, l2: seed_and_search(
-                f, ar, l2, params=params, lut=lut, fm2=f2)[:2],
-            fm, fm2, all_reads, lens2)
+            lambda f, f2, ar, l2, lt: seed_and_search(
+                f, ar, l2, params=params, lut=lt, fm2=f2)[:2],
+            fm, fm2, all_reads, lens2, lut)
         rows.append({"phase": name, "stage": "sub:seeds+bsearch",
                      "ms": round(dt * 1e3, 1)})
         lo, hi, offsets, sval, flat_seeds = jax.jit(
-            lambda f, f2, ar, l2: seed_and_search(
-                f, ar, l2, params=params, lut=lut, fm2=f2))(
-            fm, fm2, all_reads, lens2)
+            lambda f, f2, ar, l2, lt: seed_and_search(
+                f, ar, l2, params=params, lut=lt, fm2=f2))(
+            fm, fm2, all_reads, lens2, lut)
 
         # bsearch alone (materialized seeds -> LF chain only)
         from nvbio_tpu.fmindex import backward_search, backward_search2
@@ -227,16 +228,16 @@ def main(argv=None):
                      "ms": round(dt * 1e3, 1)})
 
         dt = checksum_time(
-            lambda f, s2, a, b, o, v: select_and_locate(
-                f, s2, a, b, o, v, L, params=params, fm2=fm2,
+            lambda f, s2, a, b, o, v, f2: select_and_locate(
+                f, s2, a, b, o, v, L, params=params, fm2=f2,
                 bi=False)[:2],
-            fm, ssa, lo, hi, offsets, sval)
+            fm, ssa, lo, hi, offsets, sval, fm2)
         rows.append({"phase": name, "stage": "sub:select+locate",
                      "ms": round(dt * 1e3, 1)})
         cand, _ovf, _nd = jax.jit(
-            lambda f, s2, a, b, o, v: select_and_locate(
-                f, s2, a, b, o, v, L, params=params, fm2=fm2,
-                bi=False))(fm, ssa, lo, hi, offsets, sval)
+            lambda f, s2, a, b, o, v, f2: select_and_locate(
+                f, s2, a, b, o, v, L, params=params, fm2=f2,
+                bi=False))(fm, ssa, lo, hi, offsets, sval, fm2)
 
         dt = checksum_time(
             lambda f, g, gw, ar, aq, l2, c: {
@@ -307,6 +308,26 @@ def main(argv=None):
         rows.append({"phase": name, "stage": "budget_drops",
                      "overflow_reads": int(ovf.sum()),
                      "locate_dropped": ldrop})
+        if args.extend_frac is not None and args.extend_frac != 0.25:
+            # attribution: how many of those overflows exist at the
+            # DEFAULT extension budget too (max_range skips on
+            # repetitive seeds escalate regardless)?
+            p25 = replace(params, extend_frac=0.25)
+            ovf25 = np.zeros(args.batch, bool)
+            for s in shard_ids:
+                st = mapper.shard_state[s]
+                c25 = jax.jit(functools.partial(
+                    _shard_cands, params=p25,
+                    use_pallas=mapper.use_pallas))(
+                    st["fm"], st["ssa"], st["g"], jr, jl, jq,
+                    jnp.asarray(st["own_lo"], jnp.int32),
+                    jnp.asarray(st["own_hi"], jnp.int32),
+                    lut=st["lut"], gwords=st["gw"], fm2=st["fm2"],
+                    pre=pre)
+                ovf25 |= np.asarray(c25["overflow"])[:args.batch]
+            rows.append({"phase": name,
+                         "stage": "budget_drops_at_default_0.25",
+                         "overflow_reads": int(ovf25.sum())})
         dt = checksum_time(
             lambda l, *cs: _sharded_top2(list(cs), l, params), jl, *cands)
         rows.append({"phase": name, "stage": "top2", "ms":
