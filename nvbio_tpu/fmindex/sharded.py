@@ -204,11 +204,19 @@ def _strip_bi_ssa(ssa):
                k=int(ssa.k), bi=0)
 
 
-def load_sharded_index(prefix: str):
+def load_sharded_index(prefix: str, lut_k: int | None = None):
     """Returns (ShardedIndex, genome int8 np array, meta dict).
 
     Bi-marked shard SSAs (older builds) are stripped back to mono
-    marks at load (see _strip_bi_ssa)."""
+    marks at load (see _strip_bi_ssa).
+
+    ``lut_k``: rebuild each shard's k-mer LUT at this depth from the
+    stored genome (build_kmer_lut is a pure histogram cumsum — the
+    native kmer_hist does a 1.6 Gbp shard in ~20 s).  Deeper LUTs
+    shorten the backward-search LF chain (round-5: k=13 -> 9 steps
+    instead of 11) without re-building or re-saving the index — the
+    table is never worth storing (1 GB/shard at k=13, derivable
+    faster than it loads)."""
     from ..io.index_file import load_index
 
     with open(prefix + ".manifest.json") as f:
@@ -229,6 +237,16 @@ def load_sharded_index(prefix: str):
         shards.append((fm, _strip_bi_ssa(ssa), meta.get("lut"),
                        s["start"], s["length"]))
     genome = np.load(prefix + ".genome.npy")
+    eff_lut_k = man["lut_k"]
+    if lut_k and lut_k != man["lut_k"]:
+        for i, (fm, ssa, _lut, start, length) in enumerate(shards):
+            seg = np.ascontiguousarray(
+                genome[start:start + length]).astype(np.uint8)
+            lo, hi = build_kmer_lut(seg, k=lut_k)
+            shards[i] = (fm, ssa, (jnp.asarray(lo), jnp.asarray(hi)),
+                         start, length)
+        eff_lut_k = lut_k
+        man = {**man, "lut_k": lut_k}
     idx = ShardedIndex(shards, man["n_total"], man["sa_sample"],
-                       man["lut_k"])
+                       eff_lut_k)
     return idx, genome, man

@@ -109,6 +109,11 @@ def main(argv=None):
                    help="per-read alignment cap in --all mode")
     p.add_argument("--batch", type=int, default=4096,
                    help="reads per device batch")
+    p.add_argument("--lut-k", type=int, default=None,
+                   help="rebuild the seed-tail k-mer LUT at this "
+                   "depth at load time (sharded indexes; deeper "
+                   "shortens the backward-search LF chain — k=13 "
+                   "costs ~20 s + 1 GB HBM per Gbp-scale shard)")
     p.add_argument("--locate-frac", type=float, default=None,
                    help="cross-read SSA-locate budget as a fraction of "
                    "the selected hit slots (default 0.25; 1.0 locates "
@@ -231,7 +236,8 @@ def main(argv=None):
     if _os.path.exists(_prefix + ".manifest.json"):
         from ..fmindex.sharded import load_sharded_index
 
-        sidx, genome_np, man = load_sharded_index(_prefix)
+        sidx, genome_np, man = load_sharded_index(_prefix,
+                                                  lut_k=args.lut_k)
         meta = {"sa_sample": man["sa_sample"], "lut_k": man["lut_k"],
                 "contig_names": man["contig_names"],
                 "contig_lens": man["contig_lens"]}
