@@ -222,15 +222,33 @@ def locate2_mono(fm: FMIndex, fm2: FM2, ssa: SSA, idx, k_sample: int):
         b = i >> 7
         w = (i >> 4) & 7
         r = i & 15
-        word = fm.bwt_words[b, w]
-        c = ((word >> (2 * r).astype(jnp.uint32)) & 3).astype(jnp.int32)
-        cnt = (
-            fm.occ_abs[b, c]
-            + fm.occ_sub[b, w, c].astype(jnp.int32)
-            + popc_2bit_prefix(
-                word, c.astype(jnp.uint32), r.astype(jnp.uint32)
-            ).astype(jnp.int32)
-        )
+        if fm.fused is not None:
+            # fused block row (index.FMIndex.fused): the parallel
+            # base-index LF costs ONE gather beside the pair-word rank
+            from .index import _fused_row, _row_pick
+            row, w, r = _fused_row(fm, i)
+            word = jax.lax.bitcast_convert_type(
+                _row_pick(row, w).astype(jnp.int32), jnp.uint32)
+            c = ((word >> (2 * r).astype(jnp.uint32)) & 3).astype(
+                jnp.int32)
+            cnt = (
+                _row_pick(row, 8 + c)
+                + ((_row_pick(row, 12 + w) >> (8 * c)) & 0xFF)
+                + popc_2bit_prefix(
+                    word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+                ).astype(jnp.int32)
+            )
+        else:
+            word = fm.bwt_words[b, w]
+            c = ((word >> (2 * r).astype(jnp.uint32)) & 3).astype(
+                jnp.int32)
+            cnt = (
+                fm.occ_abs[b, c]
+                + fm.occ_sub[b, w, c].astype(jnp.int32)
+                + popc_2bit_prefix(
+                    word, c.astype(jnp.uint32), r.astype(jnp.uint32)
+                ).astype(jnp.int32)
+            )
         cnt = cnt - ((c == 0) & (i > fm.primary)).astype(jnp.int32)
         lf1 = fm.C[c] + cnt
         m1 = _is_marked(ssa, lf1)
