@@ -178,7 +178,8 @@ def _local_index(stk, ssa_k: int, has_lut: bool, has_gwords: bool,
     (leading shard axis stripped; shared by the SE/PE/--all bodies)."""
     fm = FMIndex(stk["bwt_words"][0], stk["occ_abs"][0],
                  stk["occ_sub"][0], stk["C"][0], stk["primary"][0],
-                 stk["n"][0])
+                 stk["n"][0],
+                 fused=stk["fused"][0] if "fused" in stk else None)
     ssa = SSA(stk["mark_words"][0], stk["mark_abs"][0],
               stk["vals"][0], k=ssa_k)
     g = stk["g"][0]
@@ -423,6 +424,17 @@ class MeshShardedMapper(ShardedMapper):
         self._check_hbm_budget()  # BEFORE the fm2 derivation allocates
         if self._has_fm2:
             self._stacked.update(self._stack_fm2(per_shard, sh))
+        # fused block rows per device (fmindex.index.fuse_occ: one
+        # gather per rank/LF; derived in place like fm2, +0.6 B/bp)
+        from ..fmindex.index import fuse_occ
+        fpieces = []
+        for ps in per_shard:
+            fm = FMIndex(ps["bwt_words"][0], ps["occ_abs"][0],
+                         ps["occ_sub"][0], ps["C"][0],
+                         ps["primary"][0], ps["n"][0])
+            fpieces.append(jax.jit(lambda f: fuse_occ(f).fused)(fm)[None])
+        self._stacked["fused"] = jax.make_array_from_single_device_arrays(
+            (len(fpieces),) + fpieces[0].shape[1:], sh, fpieces)
 
     #: per-device HBM assumed when the backend reports no limit
     #: (v5e = 16 GB); override via attribute for other chips
@@ -457,6 +469,10 @@ class MeshShardedMapper(ShardedMapper):
         }
         n_rows = max(int(st["length"]) for st in self.shard_state) + 1
         fm2_b = 3 * n_rows if self._has_fm2 else 0
+        # fused block rows (index.fuse_occ): 80 B per 128-row block,
+        # derived after this check when not yet in _stacked
+        fused_b = (0 if "fused" in self._stacked
+                   else ((n_rows + 127) // 128 + 1) * 80)
         from ..strings.seeds import num_uniform_seeds
         S_seeds = num_uniform_seeds(L, p.seed_len, p.seed_interval)
         KLOC = min(p.max_locate, S_seeds * p.max_hits_per_seed)
@@ -467,11 +483,12 @@ class MeshShardedMapper(ShardedMapper):
             "dirs_matrix": R // S * ((L + 7) // 8 * 8) * (2 * W + 2),
             "allgather_cands": S * R * 2 * C * 4 * 4,
         }
-        total = (sum(resident.values()) + fm2_b
+        total = (sum(resident.values()) + fm2_b + fused_b
                  + sum(transient.values()))
         return {
             "resident_index": sum(resident.values()),
             "fm2_pair_bwt": fm2_b,
+            "fused_rows": fused_b,
             "transient_batch": sum(transient.values()),
             "detail": {**resident, **transient},
             "total": total,
