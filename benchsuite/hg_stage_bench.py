@@ -374,8 +374,11 @@ def main(argv=None):
         sidx0 = ShardedIndex([s0], st0_len, sidx.sa_sample, sidx.lut_k)
         mp2 = MapperParams(batch_size=args.batch, sa_sample=4,
                            use_fm2=True)
+        # fuse=False: one 1.6 Gbp shard + genome slice + pair-BWT is
+        # ~10.9 GB; the +1 GB fused rows OOM the 16 GB chip, and fm2's
+        # (unfused) rank2 dominates phase B's LF chain anyway
         mapper = ShardedMapper(sidx0, genome[:st0_len], params=mp2,
-                               fm2_mode="resident")
+                               fm2_mode="resident", fuse=False)
         run_phase("B_one_shard_fm2", mapper, [0],
                   substages=args.substages)
 

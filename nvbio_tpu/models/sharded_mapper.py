@@ -306,7 +306,7 @@ class ShardedMapper(Mapper):
                  params: MapperParams = MapperParams(),
                  ref_name: str = "ref", use_pallas: bool | None = None,
                  contigs: dict | None = None, device_state: bool = True,
-                 fm2_mode: str = "auto"):
+                 fm2_mode: str = "auto", fuse: bool = True):
         ssa_k = int(getattr(sidx.shards[0][1], "k", 0) or 0)
         if ssa_k and params.sa_sample != ssa_k:
             from dataclasses import replace
@@ -340,8 +340,12 @@ class ShardedMapper(Mapper):
                 g_s = jnp.asarray(gp[start : start + length + lt_pad])
                 gw_s = (pack_genome_words(gp[start : start + length])
                         if self.use_pallas else None)
-                if getattr(fm, "fused", None) is None:
-                    # fused block rows: 1 gather per rank/LF (index.py)
+                if fuse and getattr(fm, "fused", None) is None:
+                    # fused block rows: 1 gather per rank/LF
+                    # (index.py).  fuse=False trades the +0.6 B/bp
+                    # away when HBM is tight (e.g. one 1.6 Gbp shard
+                    # + resident pair-BWT on a 16 GB chip: fm2's
+                    # rank2 dominates there and is not fused anyway)
                     fm = fuse_occ(fm)
             self.shard_state.append(dict(
                 fm=fm if device_state else None,
