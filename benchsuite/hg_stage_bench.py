@@ -88,6 +88,10 @@ def main(argv=None):
                    help="pin to the CPU backend (smoke runs / CI)")
     p.add_argument("--extend-frac", type=float, default=None,
                    help="override params.extend_frac (budget sweep)")
+    p.add_argument("--fuse-b", action="store_true",
+                   help="fused block rows in phase B too (fits at "
+                   "<= ~1.1 Gbp shards beside the pair-BWT; a "
+                   "1.6 Gbp shard OOMs)")
     p.add_argument("--locate-frac", type=float, default=None,
                    help="override params.locate_frac (budget sweep)")
     args = p.parse_args(argv)
@@ -378,7 +382,7 @@ def main(argv=None):
         # ~10.9 GB; the +1 GB fused rows OOM the 16 GB chip, and fm2's
         # (unfused) rank2 dominates phase B's LF chain anyway
         mapper = ShardedMapper(sidx0, genome[:st0_len], params=mp2,
-                               fm2_mode="resident", fuse=False)
+                               fm2_mode="resident", fuse=args.fuse_b)
         run_phase("B_one_shard_fm2", mapper, [0],
                   substages=args.substages)
 
